@@ -1,0 +1,86 @@
+package graft
+
+/** Emits ANSI-ish SQL (runnable by both DuckDB 1.0 and Spark SQL) that
+  * reproduces the engine's geohash math exactly: the Morton interleave is
+  * written out as the same shift/mask chain [[graft.core.Morton]] uses, over
+  * BIGINT, so the DuckDB oracle computes bit-identical tile keys. Positions
+  * for the driver's relational tables are *derived* deterministically from
+  * integer keys (BASELINE.json input_hint: lat/lon are not columns), with
+  * 10% of rows planted in 3 hot-spot clusters so skew paths are exercised —
+  * the same formula text is evaluated by Spark (via `expr`) and DuckDB.
+  */
+object OracleSql {
+
+  /** Deterministic longitude for an integer key column/expression.
+    * 90% uniform in [-180, 180); keys ≡ 0 (mod 10) cluster around one of
+    * 3 hot centers (London, Tokyo, São Paulo) ±0.1°. */
+  def lonSql(key: String): String =
+    s"""CASE WHEN (($key) % 10) = 0 THEN
+       |  (CASE WHEN (($key) % 3) = 0 THEN -0.1 WHEN (($key) % 3) = 1 THEN 139.7 ELSE -46.6 END)
+       |  + (CAST((($key) * 13) % 200 AS DOUBLE) / 1000.0 - 0.1)
+       |ELSE CAST((($key) * 9973) % 36000 AS DOUBLE) / 100.0 - 180.0 END""".stripMargin.replace("\n", " ")
+
+  /** Deterministic latitude, uniform in [-84, 84) / hot-spot clustered. */
+  def latSql(key: String): String =
+    s"""CASE WHEN (($key) % 10) = 0 THEN
+       |  (CASE WHEN (($key) % 3) = 0 THEN 51.5 WHEN (($key) % 3) = 1 THEN 35.7 ELSE -23.5 END)
+       |  + (CAST((($key) * 17) % 200 AS DOUBLE) / 1000.0 - 0.1)
+       |ELSE CAST((($key) * 7919) % 16800 AS DOUBLE) / 100.0 - 84.0 END""".stripMargin.replace("\n", " ")
+
+  /** 30-bit quantized indices (no clamping: derived coords stay in range). */
+  def lonIdx30Sql(lon: String): String =
+    s"CAST(floor((($lon) + 180.0) / 360.0 * 1073741824.0) AS BIGINT)"
+  def latIdx30Sql(lat: String): String =
+    s"CAST(floor((($lat) + 90.0) / 180.0 * 1073741824.0) AS BIGINT)"
+
+  /** Morton spread: the exact shift/mask chain of [[graft.core.Morton.spread]].
+    * `x` should be a simple column reference (it is repeated 32×). */
+  def spreadSql(x: String): String =
+    Seq(16 -> "281470681808895",        // 0x0000FFFF0000FFFF
+        8  -> "71777214294589695",      // 0x00FF00FF00FF00FF
+        4  -> "1085102592571150095",    // 0x0F0F0F0F0F0F0F0F
+        2  -> "3689348814741910323",    // 0x3333333333333333
+        1  -> "6148914691236517205")    // 0x5555555555555555
+      .foldLeft(s"(($x) & 1073741823)") { case (e, (s, m)) => s"((($e) | (($e) << $s)) & $m)" }
+
+  /** tile = interleave(gx, gy) >> (60 - bits); gx/gy must be plain columns. */
+  def tileSql(gx: String, gy: String, bits: Int): String =
+    s"(((${spreadSql(gx)} << 1) | ${spreadSql(gy)}) >> ${60 - bits})"
+
+  /** CTE that appends _gx/_gy index columns for a key-derived position. */
+  def withIdxCte(table: String, key: String): String =
+    s"""WITH _pts AS (SELECT *, ${lonSql(key)} AS _lon, ${latSql(key)} AS _lat FROM $table),
+       |_idx AS (SELECT *, ${lonIdx30Sql("_lon")} AS _gx, ${latIdx30Sql("_lat")} AS _gy FROM _pts)""".stripMargin.replace("\n", " ")
+
+  /** base32 string of a tile at `chars` — same alphabet as graft.core.Base32.
+    * `tile` should be a simple column reference. */
+  def base32Sql(tile: String, chars: Int): String = {
+    val parts = (0 until chars).map { i =>
+      val shift = 5 * (chars - 1 - i)
+      s"substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST(((($tile) >> $shift) & 31) AS INT) + 1, 1)"
+    }
+    parts.mkString("(", " || ", ")")
+  }
+
+  /** Ray-casting point-in-polygon for a FIXED polygon ring, emitted as the
+    * same arithmetic graft.core.GeoMath.pointInRing evaluates: XOR over edge
+    * crossing tests (sum of casts mod 2). `poly` = flat lon/lat pairs. */
+  def pipSql(lon: String, lat: String, poly: Array[Double]): String = {
+    val n = poly.length / 2
+    val conds = (0 until n).map { i =>
+      val j = if (i == 0) n - 1 else i - 1
+      val xi = poly(2 * i); val yi = poly(2 * i + 1)
+      val xj = poly(2 * j); val yj = poly(2 * j + 1)
+      s"(CASE WHEN (($yi > ($lat)) <> ($yj > ($lat))) AND (($lon) < $xi + (($lat) - $yi) / ($yj - $yi) * ($xj - $xi)) THEN 1 ELSE 0 END)"
+    }
+    s"((${conds.mkString(" + ")}) % 2 = 1)"
+  }
+
+  /** md5-derived 60-bit positive hash of a string expression — identical in
+    * Spark (`conv`) and DuckDB (`'0x' || hex` cast). Spark form uses conv();
+    * use [[hash60DuckSql]] for the oracle side. */
+  def hash60SparkSql(s: String): String =
+    s"CAST(conv(substring(md5($s), 1, 15), 16, 10) AS BIGINT)"
+  def hash60DuckSql(s: String): String =
+    s"CAST(('0x' || substring(md5($s), 1, 15)) AS BIGINT)"
+}

@@ -1,13 +1,215 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Geohash, BBox}
+import graft.engine.SpatialOps
+import graft.sql.{functions => gf, GraftFunctions}
+import graft.OracleSql._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query has a DuckDB-runnable oracle in [[oracleSql]]; the geohash
+  * math is reproduced in SQL (same Morton shift/mask chain, same base32
+  * alphabet) by [[graft.OracleSql]], so tile assignments are checked
+  * bit-for-bit, not just row counts.
+  */
 object SparkEntry {
+
+  private def ld(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Wrap a query so graft functions exist in whatever session the driver
+    * hands us (registration is idempotent). */
+  private def gq(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
+    (s, dir) => { GraftFunctions.register(s); f(s, dir) }
+
+  // fixed query geometry (exact-binary literals → bit-identical in DuckDB)
+  private val londonBox = BBox(-0.75, 51.0, 0.25, 52.0)
+  private val amBox = BBox(178.0, -45.0, -178.0, 45.0) // anti-meridian straddle
+  private val knnQueries = Seq((1, -0.75, 51.25), (2, 139.75, 35.5), (3, -46.5, -23.5))
+  private val franceQuad = Array(-2.5, 41.0, 3.0, 41.5, 2.0, 48.0, -4.5, 47.5)
+  private val franceWkt = "POLYGON ((-2.5 41.0, 3.0 41.5, 2.0 48.0, -4.5 47.5, -2.5 41.0))"
+  private val blockCenter = (-0.125, 51.5)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q03_box_query")(spark, "/root/testdata/sf0.001")
+
+  /** One entry per implemented operator from SURVEY.md §2/§3. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- codec / tiling (reference core ops) ---
+    "q01_tile_assign" -> gq { (s, dir) =>
+      SpatialOps.withTile(
+        SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey"),
+        "lon", "lat", 30)
+        .select("c_custkey", "lon", "lat", "tile")
+    },
+    "q02_tile_assign_str" -> gq { (s, dir) =>
+      SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey")
+        .withColumn("gh", gf.gh_encode_str(col("lon"), col("lat"), 6))
+        .select("c_custkey", "gh")
+    },
+    "q03_box_query" -> gq { (s, dir) =>
+      SpatialOps.boxQuery(
+        SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey"),
+        "lon", "lat", londonBox, 20)
+        .select("c_custkey", "lon", "lat")
+    },
+    "q04_box_antimeridian" -> gq { (s, dir) =>
+      SpatialOps.boxQuery(
+        SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey"),
+        "lon", "lat", amBox, 20)
+        .select("c_custkey", "lon", "lat")
+    },
+    "q05_cell_join" -> gq { (s, dir) =>
+      val c = SpatialOps.withTile(
+        SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey"),
+        "lon", "lat", 20).groupBy("tile").agg(count("*").as("n_cust"))
+      val p = SpatialOps.withTile(
+        SpatialOps.withDerivedPosition(ld(s, dir, "supplier").select("s_suppkey"), "s_suppkey"),
+        "lon", "lat", 20).groupBy("tile").agg(count("*").as("n_supp"))
+      c.join(p, "tile").select("tile", "n_cust", "n_supp")
+    },
+    "q06_knn" -> gq { (s, dir) =>
+      SpatialOps.knnBrute(
+        SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey"),
+        "lon", "lat", knnQueries, 10, "c_custkey")
+        .withColumn("rnk", col("rank").cast("bigint")) // DuckDB row_number is BIGINT
+        .select("qid", "rnk", "c_custkey")
+    },
+    "q08_pip" -> gq { (s, dir) =>
+      SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey")
+        .where(gf.st_contains_wkt(lit(franceWkt), col("lon"), col("lat")))
+        .select("c_custkey", "lon", "lat")
+    },
+    "q09_neighbor_block" -> gq { (s, dir) =>
+      SpatialOps.neighborBlockQuery(
+        SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey"),
+        "lon", "lat", blockCenter._1, blockCenter._2, 20)
+        .select("c_custkey", "lon", "lat")
+    },
+    "q10_raster_where" -> gq { (s, dir) =>
+      // reference string.where (SURVEY.md §3.1 #13): per-cell index slices
+      val grid = SpatialOps.withDerivedPosition(
+        ld(s, dir, "lineitem").select("l_orderkey"), "l_orderkey")
+        .withColumn("i", expr("l_orderkey % 1000"))
+        .withColumn("j", expr("(l_orderkey * 7) % 1000"))
+      SpatialOps.withTile(grid, "lon", "lat", 16)
+        .groupBy("tile")
+        .agg(min("i").as("min_i"), max("i").as("max_i"),
+             min("j").as("min_j"), max("j").as("max_j"), count("*").as("n"))
+        .select("tile", "min_i", "max_i", "min_j", "max_j", "n")
+    },
+    "q11_cell_histogram" -> gq { (s, dir) =>
+      SpatialOps.withTile(
+        SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey"),
+        "lon", "lat", 10)
+        .groupBy("tile").agg(count("*").as("n"))
+        .select("tile", "n")
+    },
+    // --- relational baseline (engine competence; DECIMAL sums for parity) ---
+    "q12_pricing_agg" -> gq { (s, dir) =>
+      ld(s, dir, "lineitem")
+        .where(expr("l_shipdate < TIMESTAMP '1996-01-01 00:00:00'"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          expr("CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)").as("sum_qty"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)").as("sum_base"),
+          expr("CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)").as("sum_disc"),
+          count("*").as("n"))
+        .select("l_returnflag", "l_linestatus", "sum_qty", "sum_base", "sum_disc", "n")
+    },
+    "q13_seg_topn" -> gq { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val j = ld(s, dir, "orders").join(ld(s, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment", "c_custkey")
+        .agg(expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
+      val w = Window.partitionBy("c_mktsegment").orderBy(col("total").desc, col("c_custkey").asc)
+      j.withColumn("rnk", row_number().over(w).cast("bigint")).where(col("rnk") <= 3)
+        .select("c_mktsegment", "rnk", "c_custkey", "total")
+    },
+  )
+
+  /** DuckDB-runnable oracles, same column names as the Spark results. */
+  def oracleSql: Map[String, String] = {
+    val custIdx = withIdxCte("customer", "c_custkey")
+    Map(
+      "q01_tile_assign" ->
+        s"$custIdx SELECT c_custkey, _lon AS lon, _lat AS lat, ${tileSql("_gx", "_gy", 30)} AS tile FROM _idx",
+      "q02_tile_assign_str" ->
+        s"""$custIdx, _t AS (SELECT c_custkey, ${tileSql("_gx", "_gy", 30)} AS tile FROM _idx)
+           | SELECT c_custkey, ${base32Sql("tile", 6)} AS gh FROM _t""".stripMargin.replace("\n", " "),
+      "q03_box_query" ->
+        s"""$custIdx SELECT c_custkey, _lon AS lon, _lat AS lat FROM _idx
+           | WHERE _lon >= ${londonBox.minLon} AND _lon <= ${londonBox.maxLon}
+           |   AND _lat >= ${londonBox.minLat} AND _lat <= ${londonBox.maxLat}""".stripMargin.replace("\n", " "),
+      "q04_box_antimeridian" ->
+        s"""$custIdx SELECT c_custkey, _lon AS lon, _lat AS lat FROM _idx
+           | WHERE (_lon >= ${amBox.minLon} OR _lon <= ${amBox.maxLon})
+           |   AND _lat >= ${amBox.minLat} AND _lat <= ${amBox.maxLat}""".stripMargin.replace("\n", " "),
+      "q05_cell_join" -> {
+        val suppIdx =
+          s"""_spts AS (SELECT s_suppkey, ${lonSql("s_suppkey")} AS _lon, ${latSql("s_suppkey")} AS _lat FROM supplier),
+             |_sidx AS (SELECT *, ${lonIdx30Sql("_lon")} AS _gx, ${latIdx30Sql("_lat")} AS _gy FROM _spts)""".stripMargin.replace("\n", " ")
+        s"""$custIdx, $suppIdx,
+           | _c AS (SELECT ${tileSql("_gx", "_gy", 20)} AS tile, count(*) AS n_cust FROM _idx GROUP BY 1),
+           | _s AS (SELECT ${tileSql("_gx", "_gy", 20)} AS tile, count(*) AS n_supp FROM _sidx GROUP BY 1)
+           | SELECT _c.tile AS tile, n_cust, n_supp FROM _c JOIN _s ON _c.tile = _s.tile""".stripMargin.replace("\n", " ")
+      },
+      "q06_knn" -> {
+        val vals = knnQueries.map { case (q, x, y) => s"($q, $x, $y)" }.mkString(", ")
+        s"""$custIdx, _d AS (
+           |   SELECT qid, c_custkey,
+           |          (_lon - qx) * (_lon - qx) + (_lat - qy) * (_lat - qy) AS dist
+           |   FROM _idx CROSS JOIN (VALUES $vals) AS q(qid, qx, qy)),
+           | _r AS (SELECT qid, c_custkey,
+           |          row_number() OVER (PARTITION BY qid ORDER BY dist ASC, c_custkey ASC) AS rnk
+           |        FROM _d)
+           | SELECT qid, rnk, c_custkey FROM _r WHERE rnk <= 10""".stripMargin.replace("\n", " ")
+      },
+      "q08_pip" ->
+        s"""$custIdx SELECT c_custkey, _lon AS lon, _lat AS lat FROM _idx
+           | WHERE ${pipSql("_lon", "_lat", franceQuad)}""".stripMargin.replace("\n", " "),
+      "q09_neighbor_block" -> {
+        val bits = 20
+        val qx = Geohash.lonIdx30(blockCenter._1) >>> (30 - Geohash.lonBitsOf(bits))
+        val qy = Geohash.latIdx30(blockCenter._2) >>> (30 - Geohash.latBitsOf(bits))
+        val nx = (1L << Geohash.lonBitsOf(bits)) - 1
+        s"""$custIdx, _xy AS (SELECT c_custkey, _lon, _lat,
+           |   (_gx >> ${30 - Geohash.lonBitsOf(bits)}) AS x, (_gy >> ${30 - Geohash.latBitsOf(bits)}) AS y FROM _idx)
+           | SELECT c_custkey, _lon AS lon, _lat AS lat FROM _xy
+           | WHERE (abs(x - $qx) <= 1 OR abs(x - $qx) = $nx) AND abs(y - $qy) <= 1""".stripMargin.replace("\n", " ")
+      },
+      "q10_raster_where" -> {
+        val liIdx =
+          s"""WITH _pts AS (SELECT l_orderkey, ${lonSql("l_orderkey")} AS _lon, ${latSql("l_orderkey")} AS _lat FROM lineitem),
+             |_idx AS (SELECT *, ${lonIdx30Sql("_lon")} AS _gx, ${latIdx30Sql("_lat")} AS _gy FROM _pts)""".stripMargin.replace("\n", " ")
+        s"""$liIdx, _g AS (SELECT ${tileSql("_gx", "_gy", 16)} AS tile,
+           |   l_orderkey % 1000 AS i, (l_orderkey * 7) % 1000 AS j FROM _idx)
+           | SELECT tile, min(i) AS min_i, max(i) AS max_i, min(j) AS min_j, max(j) AS max_j, count(*) AS n
+           | FROM _g GROUP BY tile""".stripMargin.replace("\n", " ")
+      },
+      "q11_cell_histogram" ->
+        s"""$custIdx SELECT ${tileSql("_gx", "_gy", 10)} AS tile, count(*) AS n FROM _idx GROUP BY 1""",
+      "q12_pricing_agg" ->
+        """SELECT l_returnflag, l_linestatus,
+          | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+          | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc,
+          | count(*) AS n
+          | FROM lineitem WHERE l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+          | GROUP BY l_returnflag, l_linestatus""".stripMargin.replace("\n", " "),
+      "q13_seg_topn" ->
+        """WITH _t AS (
+          |   SELECT c_mktsegment, c_custkey,
+          |          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          |   FROM orders JOIN customer ON o_custkey = c_custkey
+          |   GROUP BY c_mktsegment, c_custkey),
+          | _r AS (SELECT *, row_number() OVER (PARTITION BY c_mktsegment ORDER BY total DESC, c_custkey ASC) AS rnk FROM _t)
+          | SELECT c_mktsegment, rnk, c_custkey, total FROM _r WHERE rnk <= 3""".stripMargin.replace("\n", " "),
+    )
+  }
 }

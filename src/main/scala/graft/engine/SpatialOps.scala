@@ -1,0 +1,167 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.OracleSql
+import graft.core.{Geohash, BBox}
+import graft.sql.{functions => gf}
+
+/** Distributed spatial operators — the engine generalization of the
+  * reference's single primitive (`GeoHash.box`: covering → KV multi-get,
+  * SURVEY.md §4 E2) to Spark joins, plus the BASELINE.json extensions
+  * (kNN via cell-ring expansion, skew-aware salted joins).
+  *
+  * Scale notes (10¹²-row posture):
+  *  - box queries broadcast the covering cell set (bounded by the covering
+  *    guard) and hash-join on the tile key — no shuffle of the big side
+  *    beyond the scan, refine runs codegen'd per row;
+  *  - the cell join shuffles both sides by tile; hot cells (planted or
+  *    real) are handled by explicit deterministic salting + AQE skew join;
+  *  - nothing collects to the driver except covering cell lists (≤ 2^20).
+  */
+object SpatialOps {
+
+  /** Append deterministic (lon, lat) derived from an integer key column —
+    * the engine's stand-in for the image table's posOf(image_id)
+    * (FIXTURES.md §1); same SQL text evaluates in the DuckDB oracle. */
+  def withDerivedPosition(df: DataFrame, keyCol: String): DataFrame =
+    df.withColumn("lon", expr(OracleSql.lonSql(keyCol)))
+      .withColumn("lat", expr(OracleSql.latSql(keyCol)))
+
+  /** Tile assignment: the headline op (BASELINE.json metric). */
+  def withTile(df: DataFrame, lonCol: String, latCol: String, bits: Int,
+               tileCol: String = "tile"): DataFrame =
+    df.withColumn(tileCol, gf.gh_encode(col(lonCol), col(latCol), bits))
+
+  /** Box query = covering(box) ⋈ tiles, then exact refine — the reference's
+    * E2 with an added exact filter (reference is cell-coarse; pass
+    * refine=false for row-parity with it). Covering cells are broadcast.
+    * Handles anti-meridian boxes (minLon > maxLon). */
+  def boxQuery(points: DataFrame, lonCol: String, latCol: String,
+               box: BBox, bits: Int, refine: Boolean = true): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val cells = Geohash.covering(box.minLon, box.minLat, box.maxLon, box.maxLat, bits)
+    val cellsDf = cells.toSeq.toDF("__cell")
+    val tiled = withTile(points, lonCol, latCol, bits, "__cell")
+    val joined = tiled.join(broadcast(cellsDf), "__cell").drop("__cell")
+    if (!refine) joined
+    else {
+      val lonPred =
+        if (box.minLon <= box.maxLon) col(lonCol) >= box.minLon && col(lonCol) <= box.maxLon
+        else col(lonCol) >= box.minLon || col(lonCol) <= box.maxLon
+      joined.where(lonPred && col(latCol) >= box.minLat && col(latCol) <= box.maxLat)
+    }
+  }
+
+  /** Points whose cell lies in the 3×3 block around (qLon, qLat) — the
+    * reference's neighbor expansion (#3/#9) as a join predicate. */
+  def neighborBlockQuery(points: DataFrame, lonCol: String, latCol: String,
+                         qLon: Double, qLat: Double, bits: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val center = Geohash.encode(qLon, qLat, bits)
+    val block = (Geohash.neighbors(center, bits) :+ center).toSeq.toDF("__cell")
+    withTile(points, lonCol, latCol, bits, "__cell")
+      .join(broadcast(block), "__cell").drop("__cell")
+  }
+
+  /** Exact brute-force kNN per query point (squared equirectangular degree
+    * metric — trig-free for oracle parity; see GeoMath.sqDistDeg).
+    * queries: (qid, qlon, qlat). Output: (qid, rank, point columns). */
+  def knnBrute(points: DataFrame, lonCol: String, latCol: String,
+               queries: Seq[(Int, Double, Double)], k: Int, tieCol: String): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val q = queries.toDF("qid", "qlon", "qlat")
+    val dist = (col(lonCol) - $"qlon") * (col(lonCol) - $"qlon") +
+               (col(latCol) - $"qlat") * (col(latCol) - $"qlat")
+    val w = Window.partitionBy($"qid").orderBy(dist.asc, col(tieCol).asc)
+    points.crossJoin(broadcast(q))
+      .withColumn("rank", row_number().over(w))
+      .where($"rank" <= k)
+      .drop("qlon", "qlat")
+  }
+
+  /** kNN via geohash cell-ring expansion (BASELINE.json north_star): start
+    * at the query cell, expand rings until ≥k candidates found, then one
+    * safety margin ring, then exact top-k — avoids the cross join at scale.
+    * Exactness: after finding the k-th candidate at degree distance d, all
+    * rings overlapping the d-disc are already included iff
+    * rings * cellMinDim ≥ d; we expand until that holds. */
+  def knnRing(points: DataFrame, lonCol: String, latCol: String,
+              qid: Int, qLon: Double, qLat: Double, k: Int, bits: Int,
+              tieCol: String): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val center = Geohash.encode(qLon, qLat, bits)
+    val cw = Geohash.cellWidth(bits); val ch = Geohash.cellHeight(bits)
+    val cellMin = math.min(cw, ch)
+    val cx = Geohash.cellX(center, bits); val cy = Geohash.cellY(center, bits)
+    val nx = 1L << Geohash.lonBitsOf(bits); val ny = 1L << Geohash.latBitsOf(bits)
+
+    def ringCells(r: Long): Seq[Long] = {
+      if (r == 0) return Seq(center)
+      val cells = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var dx = -r
+      while (dx <= r) {
+        var dy = -r
+        while (dy <= r) {
+          if (math.abs(dx) == r || math.abs(dy) == r) {
+            val yy = cy + dy
+            if (yy >= 0 && yy < ny) cells += Geohash.fromCellXY((cx + dx + nx * 4) % nx, yy, bits)
+          }
+          dy += 1
+        }
+        dx += 1
+      }
+      cells.toSeq
+    }
+
+    val tiled = withTile(points, lonCol, latCol, bits, "__cell").cache()
+    try {
+      var r = 0L
+      var acc: DataFrame = null
+      var accCells = Seq.empty[Long]
+      var found = 0L
+      // expansion phase: grow until k candidates exist
+      while (found < k && r < math.max(nx, ny)) {
+        accCells = accCells ++ ringCells(r)
+        val cellsDf = accCells.toDF("__cell")
+        acc = tiled.join(broadcast(cellsDf), "__cell")
+        found = acc.count()
+        r += 1
+      }
+      // safety phase: the k-th distance can reach into rings beyond r-1;
+      // include every ring intersecting the k-th-distance disc.
+      val dist = (col(lonCol) - qLon) * (col(lonCol) - qLon) +
+                 (col(latCol) - qLat) * (col(latCol) - qLat)
+      val kth = acc.select(dist.as("d")).orderBy($"d".asc).limit(k)
+        .agg(max($"d")).collect()(0).getDouble(0)
+      val needRings = math.ceil(math.sqrt(kth) / cellMin).toLong + 1
+      while (r <= needRings && r < math.max(nx, ny)) {
+        accCells = accCells ++ ringCells(r); r += 1
+      }
+      val cellsDf = accCells.distinct.toDF("__cell")
+      val cand = tiled.join(broadcast(cellsDf), "__cell")
+      val w = Window.partitionBy(lit(1)).orderBy(dist.asc, col(tieCol).asc)
+      cand.withColumn("rank", row_number().over(w))
+        .where($"rank" <= k)
+        .withColumn("qid", lit(qid))
+        .drop("__cell")
+    } finally tiled.unpersist()
+  }
+
+  /** Large-large equi-join on tile keys with explicit deterministic salting
+    * for hot cells (SURVEY.md §5): left rows get salt = hash(saltKey) % s,
+    * right rows are replicated ×s. Results are row-identical to the unsalted
+    * join at any parallelism. */
+  def saltedCellJoin(left: DataFrame, right: DataFrame, tileCol: String,
+                     saltKeyCol: String, salts: Int): DataFrame = {
+    val l = left.withColumn("__salt", pmod(hash(col(saltKeyCol)), lit(salts)))
+    val r = right.withColumn("__salt", explode(array((0 until salts).map(lit): _*)))
+    l.join(r, Seq(tileCol, "__salt")).drop("__salt")
+  }
+}

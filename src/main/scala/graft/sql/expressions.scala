@@ -1,0 +1,306 @@
+package graft.sql
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode, CodegenFallback}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.{Geohash, Base32, GeoMath}
+
+/** Catalyst expressions for the geohash codec & cell algebra — the
+  * Spark-native re-expression of pangeo-geohash's vectorized C++ kernels
+  * (SURVEY.md §3.1). The reference vectorizes by looping over NumPy buffers
+  * with the GIL released; here the same effect falls out of WholeStageCodegen:
+  * each scalar op emits a static call into [[graft.core]] inside the generated
+  * per-row loop, so there is no virtual dispatch or boxing in the hot path.
+  *
+  * NaN coordinates yield NULL (the core library would otherwise quietly
+  * encode cell 0 — see GeohashCoreSpec).
+  */
+object ghExpr {
+  private[sql] val nanGuard2 = "java.lang.Double.isNaN(%s) || java.lang.Double.isNaN(%s)"
+}
+
+/** gh_encode(lon, lat, bits) → LONG — right-justified Morton geohash.
+  * Reference: int64.encode (`int64.hpp`, SURVEY.md §3.1 #1). */
+case class GhEncode(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "gh_encode"
+
+  override def nullSafeEval(lon: Any, lat: Any, bits: Any): Any = {
+    val lo = lon.asInstanceOf[Double]; val la = lat.asInstanceOf[Double]
+    if (lo.isNaN || la.isNaN) null
+    else Geohash.encode(lo, la, bits.asInstanceOf[Int])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lon, lat, bits) => s"""
+      if (${ghExpr.nanGuard2.format(lon, lat)}) { ${ev.isNull} = true; }
+      else { ${ev.value} = graft.core.Geohash.encode($lon, $lat, $bits); }""")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** gh_encode_str(lon, lat, chars) → STRING — base32 geohash.
+  * Reference: string.encode (`string.hpp`, SURVEY.md §3.1 #5). */
+case class GhEncodeString(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = true
+  override def prettyName: String = "gh_encode_str"
+
+  override def nullSafeEval(lon: Any, lat: Any, chars: Any): Any = {
+    val lo = lon.asInstanceOf[Double]; val la = lat.asInstanceOf[Double]
+    if (lo.isNaN || la.isNaN) null
+    else UTF8String.fromString(Geohash.encodeString(lo, la, chars.asInstanceOf[Int]))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lon, lat, chars) => s"""
+      if (${ghExpr.nanGuard2.format(lon, lat)}) { ${ev.isNull} = true; }
+      else { ${ev.value} = org.apache.spark.unsafe.types.UTF8String.fromString(
+        graft.core.Geohash.encodeString($lon, $lat, $chars)); }""")
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** gh_decode(code, bits) → STRUCT<lon double, lat double> — cell center.
+  * Reference: int64.decode (SURVEY.md §3.1 #2). */
+case class GhDecode(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    StructType(Seq(StructField("lon", DoubleType, false), StructField("lat", DoubleType, false)))
+  override def prettyName: String = "gh_decode"
+
+  override def nullSafeEval(code: Any, bits: Any): Any = {
+    val (lon, lat) = Geohash.decodeCenter(code.asInstanceOf[Long], bits.asInstanceOf[Int])
+    InternalRow(lon, lat)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** gh_decode_str(code) → STRUCT<lon, lat> — reference string.decode (#6). */
+case class GhDecodeString(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    StructType(Seq(StructField("lon", DoubleType, false), StructField("lat", DoubleType, false)))
+  override def prettyName: String = "gh_decode_str"
+
+  override def nullSafeEval(s: Any): Any = {
+    val (lon, lat) = Geohash.decodeCenterString(s.asInstanceOf[UTF8String].toString)
+    InternalRow(lon, lat)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** gh_bbox(code, bits) → STRUCT<min_lon, min_lat, max_lon, max_lat>.
+  * Reference: string.bounding_box (#7). */
+case class GhBoundingBox(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("min_lon", DoubleType, false), StructField("min_lat", DoubleType, false),
+    StructField("max_lon", DoubleType, false), StructField("max_lat", DoubleType, false)))
+  override def prettyName: String = "gh_bbox"
+
+  override def nullSafeEval(code: Any, bits: Any): Any = {
+    val b = Geohash.boundingBox(code.asInstanceOf[Long], bits.asInstanceOf[Int])
+    InternalRow(b.minLon, b.minLat, b.maxLon, b.maxLat)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** gh_neighbors(code, bits) → ARRAY<LONG> — 8 adjacent cells (≤8 at poles).
+  * Reference: int64.neighbors (#3). */
+case class GhNeighbors(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gh_neighbors"
+
+  override def nullSafeEval(code: Any, bits: Any): Any =
+    new GenericArrayData(Geohash.neighbors(code.asInstanceOf[Long], bits.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** gh_neighbors_str(code) → ARRAY<STRING> — reference string.neighbors (#9). */
+case class GhNeighborsString(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "gh_neighbors_str"
+
+  override def nullSafeEval(s: Any): Any =
+    new GenericArrayData(Geohash.neighborsString(s.asInstanceOf[UTF8String].toString)
+      .map(UTF8String.fromString): Array[Any])
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** gh_parent(code, bits, parent_bits) → LONG — zoom out (prefix truncation,
+  * SURVEY.md §3.1 #14). */
+case class GhParent(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "gh_parent"
+
+  override def nullSafeEval(code: Any, bits: Any, pbits: Any): Any =
+    Geohash.parent(code.asInstanceOf[Long], bits.asInstanceOf[Int], pbits.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, b, p) => s"graft.core.Geohash.parent($c, $b, $p)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** gh_children(code, bits, child_bits) → ARRAY<LONG> — zoom in (#14). */
+case class GhChildren(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gh_children"
+
+  override def nullSafeEval(code: Any, bits: Any, cbits: Any): Any =
+    new GenericArrayData(Geohash.children(
+      code.asInstanceOf[Long], bits.asInstanceOf[Int], cbits.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** gh_to_str(code, chars) → STRING — base32 of an int64 code (#4). */
+case class GhToString(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "gh_to_str"
+
+  override def nullSafeEval(code: Any, chars: Any): Any =
+    UTF8String.fromString(Base32.encode(code.asInstanceOf[Long], chars.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, n) =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.core.Base32.encode($c, $n))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** gh_from_str(s) → LONG — base32 decode to right-justified code (#4). */
+case class GhFromString(child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "gh_from_str"
+
+  override def nullSafeEval(s: Any): Any = Base32.decode(s.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.core.Base32.decode($s.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** gh_area(code, bits) → DOUBLE — spherical cell area, m² (#12). */
+case class GhArea(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "gh_area"
+
+  override def nullSafeEval(code: Any, bits: Any): Any =
+    Geohash.area(code.asInstanceOf[Long], bits.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (c, b) => s"graft.core.Geohash.area($c, $b)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** haversine_m(lon1, lat1, lon2, lat2) → DOUBLE meters (extension: kNN). */
+case class HaversineM(first: Expression, second: Expression, third: Expression, fourth: Expression)
+    extends QuaternaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "haversine_m"
+
+  override def nullSafeEval(a: Any, b: Any, c: Any, d: Any): Any =
+    GeoMath.haversineM(a.asInstanceOf[Double], b.asInstanceOf[Double],
+      c.asInstanceOf[Double], d.asInstanceOf[Double])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b, c, d) => s"graft.core.GeoMath.haversineM($a, $b, $c, $d)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression, q: Expression): Expression =
+    copy(first = f, second = s, third = t, fourth = q)
+}
+
+/** st_contains_wkt(wkt, lon, lat) → BOOLEAN — even-odd point-in-polygon
+  * against a WKT POLYGON (extension: exact refine after the cell-coarse
+  * join, SURVEY.md §3.3). When the WKT is foldable (the common case: a
+  * literal query polygon) the rings are parsed once at plan time and shared
+  * through the codegen reference table. */
+case class StContainsWkt(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "st_contains_wkt"
+
+  @transient private lazy val staticRings: Array[Array[Double]] =
+    if (first.foldable) {
+      val w = first.eval(null)
+      if (w == null) null else GeoMath.parseWktPolygon(w.asInstanceOf[UTF8String].toString)
+    } else null
+
+  override def nullSafeEval(wkt: Any, lon: Any, lat: Any): Any = {
+    val rings = if (staticRings != null) staticRings
+                else GeoMath.parseWktPolygon(wkt.asInstanceOf[UTF8String].toString)
+    GeoMath.pointInPolygon(lon.asInstanceOf[Double], lat.asInstanceOf[Double], rings)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (first.foldable && staticRings != null) {
+      val ringsRef = ctx.addReferenceObj("pipRings", staticRings, "double[][]")
+      nullSafeCodeGen(ctx, ev, (_, lon, lat) =>
+        s"${ev.value} = graft.core.GeoMath.pointInPolygon($lon, $lat, $ringsRef);")
+    } else {
+      nullSafeCodeGen(ctx, ev, (wkt, lon, lat) =>
+        s"${ev.value} = graft.core.GeoMath.pointInPolygon($lon, $lat, graft.core.GeoMath.parseWktPolygon($wkt.toString()));")
+    }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** gh_covering(min_lon, min_lat, max_lon, max_lat, bits) → ARRAY<LONG> —
+  * scalar form of the reference's bounding_boxes covering (#8); used to
+  * build the broadcast side of box joins. Capped at 2^20 cells. */
+case class GhCoveringArray(children: Seq[Expression])
+    extends Expression with CodegenFallback {
+  require(children.length == 5, "gh_covering takes (min_lon, min_lat, max_lon, max_lat, bits)")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "gh_covering"
+
+  override def eval(input: InternalRow): Any = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) return null
+    new GenericArrayData(Geohash.covering(
+      vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double], vs(4).asInstanceOf[Int]))
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}
+
+/** gh_covering_cells(min_lon, min_lat, max_lon, max_lat, bits) — Generator
+  * form: one output row per covering cell (column `cell: LONG`). The
+  * distributed analogue of the reference's lattice walk (SURVEY.md §3.1 #8):
+  * LATERAL-explode boxes into cells, then equi-join on cell. */
+case class GhCoveringCells(children: Seq[Expression])
+    extends Expression with Generator with CodegenFallback {
+  require(children.length == 5, "gh_covering_cells takes (min_lon, min_lat, max_lon, max_lat, bits)")
+  override def elementSchema: StructType = StructType(Seq(StructField("cell", LongType, false)))
+  override def prettyName: String = "gh_covering_cells"
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val vs = children.map(_.eval(input))
+    if (vs.contains(null)) return Nil
+    Geohash.covering(
+      vs(0).asInstanceOf[Double], vs(1).asInstanceOf[Double],
+      vs(2).asInstanceOf[Double], vs(3).asInstanceOf[Double], vs(4).asInstanceOf[Int])
+      .iterator.map(c => InternalRow(c))
+  }
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(children = cs)
+}

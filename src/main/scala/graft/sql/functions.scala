@@ -1,0 +1,133 @@
+package graft.sql
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.functions.{call_function, lit}
+import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, StringType}
+
+/** Registration + column API for the graft spatial functions.
+  *
+  * Functions are registered into the session's FunctionRegistry so they work
+  * from both SQL text and the Column API (via `call_function`), and flow
+  * through Catalyst like built-ins: constant folding on literal precisions,
+  * null propagation, WholeStageCodegen inlining.
+  */
+object GraftFunctions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.sql", null, name, usage, "")
+
+  // Implicit input coercion (ExpectsInputTypes is private[sql] in Spark 4,
+  // so the builders cast instead; no-op casts fold away in the optimizer).
+  private def cD(e: Expression) = Cast(e, DoubleType)
+  private def cI(e: Expression) = Cast(e, IntegerType)
+  private def cL(e: Expression) = Cast(e, LongType)
+  private def cS(e: Expression) = Cast(e, StringType)
+
+  val all: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("gh_encode", "gh_encode(lon, lat, bits) - int64 geohash at bits precision",
+      (e: Seq[Expression]) => { require(e.length == 3, "gh_encode(lon, lat, bits)"); GhEncode(cD(e(0)), cD(e(1)), cI(e(2))) }),
+    ("gh_encode_str", "gh_encode_str(lon, lat, chars) - base32 geohash string",
+      (e: Seq[Expression]) => { require(e.length == 3, "gh_encode_str(lon, lat, chars)"); GhEncodeString(cD(e(0)), cD(e(1)), cI(e(2))) }),
+    ("gh_decode", "gh_decode(code, bits) - cell center struct(lon, lat)",
+      (e: Seq[Expression]) => { require(e.length == 2, "gh_decode(code, bits)"); GhDecode(cL(e(0)), cI(e(1))) }),
+    ("gh_decode_str", "gh_decode_str(code) - cell center struct(lon, lat)",
+      (e: Seq[Expression]) => { require(e.length == 1, "gh_decode_str(code)"); GhDecodeString(cS(e(0))) }),
+    ("gh_bbox", "gh_bbox(code, bits) - struct(min_lon, min_lat, max_lon, max_lat)",
+      (e: Seq[Expression]) => { require(e.length == 2, "gh_bbox(code, bits)"); GhBoundingBox(cL(e(0)), cI(e(1))) }),
+    ("gh_neighbors", "gh_neighbors(code, bits) - array of adjacent cells",
+      (e: Seq[Expression]) => { require(e.length == 2, "gh_neighbors(code, bits)"); GhNeighbors(cL(e(0)), cI(e(1))) }),
+    ("gh_neighbors_str", "gh_neighbors_str(code) - array of adjacent cells (string)",
+      (e: Seq[Expression]) => { require(e.length == 1, "gh_neighbors_str(code)"); GhNeighborsString(cS(e(0))) }),
+    ("gh_parent", "gh_parent(code, bits, parent_bits) - zoom out",
+      (e: Seq[Expression]) => { require(e.length == 3, "gh_parent(code, bits, parent_bits)"); GhParent(cL(e(0)), cI(e(1)), cI(e(2))) }),
+    ("gh_children", "gh_children(code, bits, child_bits) - zoom in",
+      (e: Seq[Expression]) => { require(e.length == 3, "gh_children(code, bits, child_bits)"); GhChildren(cL(e(0)), cI(e(1)), cI(e(2))) }),
+    ("gh_to_str", "gh_to_str(code, chars) - base32 of int64 code",
+      (e: Seq[Expression]) => { require(e.length == 2, "gh_to_str(code, chars)"); GhToString(cL(e(0)), cI(e(1))) }),
+    ("gh_from_str", "gh_from_str(s) - int64 code of base32 geohash",
+      (e: Seq[Expression]) => { require(e.length == 1, "gh_from_str(s)"); GhFromString(cS(e(0))) }),
+    ("gh_area", "gh_area(code, bits) - spherical cell area m^2",
+      (e: Seq[Expression]) => { require(e.length == 2, "gh_area(code, bits)"); GhArea(cL(e(0)), cI(e(1))) }),
+    ("haversine_m", "haversine_m(lon1, lat1, lon2, lat2) - great-circle meters",
+      (e: Seq[Expression]) => { require(e.length == 4, "haversine_m(lon1, lat1, lon2, lat2)"); HaversineM(cD(e(0)), cD(e(1)), cD(e(2)), cD(e(3))) }),
+    ("st_contains_wkt", "st_contains_wkt(wkt, lon, lat) - point in WKT polygon",
+      (e: Seq[Expression]) => { require(e.length == 3, "st_contains_wkt(wkt, lon, lat)"); StContainsWkt(cS(e(0)), cD(e(1)), cD(e(2))) }),
+    ("gh_covering", "gh_covering(min_lon, min_lat, max_lon, max_lat, bits) - array of covering cells",
+      (e: Seq[Expression]) => GhCoveringArray(e.take(4).map(cD) :+ cI(e(4)))),
+    ("gh_covering_cells", "gh_covering_cells(min_lon, min_lat, max_lon, max_lat, bits) - generator: one row per covering cell",
+      (e: Seq[Expression]) => GhCoveringCells(e.take(4).map(cD) :+ cI(e(4)))),
+  ).map { case (n, u, b) => (new FunctionIdentifier(n), info(n, u), b) }
+
+  /** Idempotent registration into an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .sessionState.functionRegistry
+    all.foreach { case (id, inf, builder) => reg.registerFunction(id, inf, builder) }
+  }
+}
+
+/** `SparkSessionExtensions` hook, usable via
+  * `spark.sql.extensions=graft.sql.GraftExtensions` on spark-submit. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+/** Column-API mirror of the registered functions (Spark-idiomatic import:
+  * `import graft.sql.functions._`). */
+object functions {
+  def gh_encode(lon: Column, lat: Column, bits: Int): Column =
+    call_function("gh_encode", lon, lat, lit(bits))
+  def gh_encode_str(lon: Column, lat: Column, chars: Int): Column =
+    call_function("gh_encode_str", lon, lat, lit(chars))
+  def gh_decode(code: Column, bits: Int): Column =
+    call_function("gh_decode", code, lit(bits))
+  def gh_decode_str(code: Column): Column = call_function("gh_decode_str", code)
+  def gh_bbox(code: Column, bits: Int): Column = call_function("gh_bbox", code, lit(bits))
+  def gh_neighbors(code: Column, bits: Int): Column =
+    call_function("gh_neighbors", code, lit(bits))
+  def gh_neighbors_str(code: Column): Column = call_function("gh_neighbors_str", code)
+  def gh_parent(code: Column, bits: Int, parentBits: Int): Column =
+    call_function("gh_parent", code, lit(bits), lit(parentBits))
+  def gh_children(code: Column, bits: Int, childBits: Int): Column =
+    call_function("gh_children", code, lit(bits), lit(childBits))
+  def gh_to_str(code: Column, chars: Int): Column = call_function("gh_to_str", code, lit(chars))
+  def gh_from_str(s: Column): Column = call_function("gh_from_str", s)
+  def gh_area(code: Column, bits: Int): Column = call_function("gh_area", code, lit(bits))
+  def haversine_m(lon1: Column, lat1: Column, lon2: Column, lat2: Column): Column =
+    call_function("haversine_m", lon1, lat1, lon2, lat2)
+  def st_contains_wkt(wkt: Column, lon: Column, lat: Column): Column =
+    call_function("st_contains_wkt", wkt, lon, lat)
+  def gh_covering(minLon: Column, minLat: Column, maxLon: Column, maxLat: Column, bits: Int): Column =
+    call_function("gh_covering", minLon, minLat, maxLon, maxLat, lit(bits))
+  def gh_covering_cells(minLon: Column, minLat: Column, maxLon: Column, maxLat: Column, bits: Int): Column =
+    call_function("gh_covering_cells", minLon, minLat, maxLon, maxLat, lit(bits))
+}
+
+/** Session factory with graft functions pre-registered and scale-appropriate
+  * defaults (shuffle partitions sized to cores, AQE + skew-join on). */
+object GraftSpark {
+  def session(master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]",
+              shufflePartitions: Int = -1,
+              appName: String = "graft"): SparkSession = {
+    val cores = master match {
+      case m if m.startsWith("local[") && !m.contains("*") =>
+        m.stripPrefix("local[").stripSuffix("]").toInt
+      case _ => Runtime.getRuntime.availableProcessors()
+    }
+    val sp = if (shufflePartitions > 0) shufflePartitions else cores
+    val spark = SparkSession.builder()
+      .master(master)
+      .appName(appName)
+      .config("spark.sql.shuffle.partitions", sp.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftFunctions.register(spark)
+    spark
+  }
+}

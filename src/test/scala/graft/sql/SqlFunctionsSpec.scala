@@ -1,0 +1,129 @@
+package graft.sql
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.core.{Geohash, GeoMath}
+import graft.sql.{functions => gf}
+
+class SqlFunctionsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = GraftSpark.session("local[4]", appName = "sql-spec")
+  import spark.implicits._
+
+  lazy val pts = Seq(
+    (1L, 10.40744, 57.64911),
+    (2L, -5.603, 42.605),
+    (3L, 179.99, -33.8),
+    (4L, -180.0, 85.0),
+    (5L, 0.0, 0.0)
+  ).toDF("id", "lon", "lat")
+
+  test("gh_encode / gh_encode_str match core, via Column API and SQL") {
+    val got = pts
+      .withColumn("tile", gf.gh_encode($"lon", $"lat", 40))
+      .withColumn("gh", gf.gh_encode_str($"lon", $"lat", 8))
+      .orderBy("id").collect()
+    got.foreach { r =>
+      assert(r.getLong(3) == Geohash.encode(r.getDouble(1), r.getDouble(2), 40))
+      assert(r.getString(4) == Geohash.encodeString(r.getDouble(1), r.getDouble(2), 8))
+    }
+    pts.createOrReplaceTempView("pts")
+    val sqlGot = spark.sql(
+      "SELECT id, gh_encode(lon, lat, 40) AS tile, gh_encode_str(lon, lat, 8) AS gh FROM pts ORDER BY id").collect()
+    got.zip(sqlGot).foreach { case (a, b) =>
+      assert(a.getLong(3) == b.getLong(1) && a.getString(4) == b.getString(2))
+    }
+  }
+
+  test("codegen and interpreted agree (wholestage on/off)") {
+    def run(flag: String) = {
+      spark.conf.set("spark.sql.codegen.wholeStage", flag)
+      spark.conf.set("spark.sql.codegen.factoryMode", if (flag == "true") "CODEGEN_ONLY" else "NO_CODEGEN")
+      pts.select(
+        gf.gh_encode($"lon", $"lat", 50),
+        gf.gh_encode_str($"lon", $"lat", 12),
+        gf.gh_parent(gf.gh_encode($"lon", $"lat", 50), 50, 20),
+        gf.gh_area(gf.gh_encode($"lon", $"lat", 20), 20),
+        gf.haversine_m($"lon", $"lat", lit(0.0), lit(0.0)),
+        gf.gh_to_str(gf.gh_from_str(gf.gh_encode_str($"lon", $"lat", 7)), 7),
+        gf.st_contains_wkt(lit("POLYGON ((-10 -10, 20 -10, 20 60, -10 60, -10 -10))"), $"lon", $"lat")
+      ).collect().map(_.toSeq)
+    }
+    val cg = run("true"); val interp = run("false")
+    spark.conf.unset("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(cg.toSeq == interp.toSeq)
+  }
+
+  test("NaN coordinates yield NULL, null propagates") {
+    val df = Seq((Double.NaN, 1.0), (1.0, Double.NaN), (1.0, 1.0)).toDF("lon", "lat")
+    val out = df.select(gf.gh_encode($"lon", $"lat", 30), gf.gh_encode_str($"lon", $"lat", 6)).collect()
+    assert(out(0).isNullAt(0) && out(0).isNullAt(1))
+    assert(out(1).isNullAt(0) && out(1).isNullAt(1))
+    assert(!out(2).isNullAt(0) && !out(2).isNullAt(1))
+  }
+
+  test("gh_decode / gh_bbox structs") {
+    val r = pts.select(
+      gf.gh_decode(gf.gh_encode($"lon", $"lat", 30), 30).as("c"),
+      gf.gh_bbox(gf.gh_encode($"lon", $"lat", 30), 30).as("b"),
+      $"lon", $"lat").collect()
+    r.foreach { row =>
+      val c = row.getStruct(0); val b = row.getStruct(1)
+      val (elon, elat) = Geohash.decodeCenter(Geohash.encode(row.getDouble(2), row.getDouble(3), 30), 30)
+      assert(c.getDouble(0) == elon && c.getDouble(1) == elat)
+      assert(b.getDouble(0) <= row.getDouble(2) && row.getDouble(2) <= b.getDouble(2))
+      assert(b.getDouble(1) <= row.getDouble(3) && row.getDouble(3) <= b.getDouble(3))
+    }
+  }
+
+  test("gh_neighbors / gh_children arrays") {
+    val r = pts.select(
+      gf.gh_neighbors(gf.gh_encode($"lon", $"lat", 30), 30),
+      gf.gh_children(gf.gh_encode($"lon", $"lat", 30), 30, 35),
+      gf.gh_neighbors_str(gf.gh_encode_str($"lon", $"lat", 6)),
+      $"lon", $"lat").collect()
+    r.foreach { row =>
+      val code = Geohash.encode(row.getDouble(3), row.getDouble(4), 30)
+      assert(row.getSeq[Long](0) == Geohash.neighbors(code, 30).toSeq)
+      assert(row.getSeq[Long](1) == Geohash.children(code, 30, 35).toSeq)
+      assert(row.getSeq[String](2) ==
+        Geohash.neighborsString(Geohash.encodeString(row.getDouble(3), row.getDouble(4), 6)).toSeq)
+    }
+  }
+
+  test("gh_covering array + generator agree, SQL LATERAL works") {
+    val arr = spark.sql("SELECT gh_covering(-5.7D, 42.5D, -5.5D, 42.7D, 25) AS cells")
+      .collect()(0).getSeq[Long](0)
+    assert(arr.toArray.sameElements(Geohash.covering(-5.7, 42.5, -5.5, 42.7, 25)))
+    val gen = spark.sql(
+      "SELECT cell FROM (SELECT 1) LATERAL VIEW gh_covering_cells(-5.7D, 42.5D, -5.5D, 42.7D, 25) t AS cell")
+      .collect().map(_.getLong(0))
+    assert(gen.sameElements(arr))
+  }
+
+  test("st_contains_wkt refines like core PIP, non-literal wkt also works") {
+    val wkt = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (3 3, 7 3, 7 7, 3 7, 3 3))"
+    val grid = spark.range(0, 400).select(
+      (($"id" % 20).cast("double") * 0.7 - 2.0).as("lon"),
+      (($"id" / 20).cast("double") * 0.7 - 2.0).as("lat"))
+    val got = grid.select($"lon", $"lat", gf.st_contains_wkt(lit(wkt), $"lon", $"lat").as("hit"))
+      .collect()
+    val rings = GeoMath.parseWktPolygon(wkt)
+    got.foreach { r =>
+      assert(r.getBoolean(2) == GeoMath.pointInPolygon(r.getDouble(0), r.getDouble(1), rings))
+    }
+    // non-foldable wkt column path
+    val dyn = grid.withColumn("w", lit(wkt))
+      .select(gf.st_contains_wkt($"w", $"lon", $"lat")).collect()
+    assert(dyn.map(_.getBoolean(0)).toSeq == got.map(_.getBoolean(2)).toSeq)
+  }
+
+  test("explain: gh_encode stays inside WholeStageCodegen") {
+    val df = spark.range(100).select(
+      ($"id" % 360 - 180).cast("double").as("lon"), ($"id" % 170 - 85).cast("double").as("lat"))
+    val plan = df.select(gf.gh_encode($"lon", $"lat", 40)).queryExecution.executedPlan.toString
+    // "*(n)" prefixes mark operators fused into WholeStageCodegen stage n
+    assert(plan.contains("*(1) Project") && plan.contains("gh_encode"), plan)
+  }
+}
