@@ -25,6 +25,10 @@ object SparkEntry {
   private def gq(f: (SparkSession, String) => DataFrame): (SparkSession, String) => DataFrame =
     (s, dir) => { GraftFunctions.register(s); f(s, dir) }
 
+  /** Image-table size scaled to the driver's sf dir. */
+  private def imageScale(dir: String): Long =
+    if (dir.contains("sf0.1")) 50000L else if (dir.contains("sf0.01")) 20000L else 2000L
+
   // fixed query geometry (exact-binary literals → bit-identical in DuckDB)
   private val londonBox = BBox(-0.75, 51.0, 0.25, 52.0)
   private val amBox = BBox(178.0, -45.0, -178.0, 45.0) // anti-meridian straddle
@@ -108,6 +112,24 @@ object SparkEntry {
         "lon", "lat", 10)
         .groupBy("tile").agg(count("*").as("n"))
         .select("tile", "n")
+    },
+    // --- image+caption pipeline (north_rule table; no SQL oracle — the
+    //     table is generated, invariants are asserted in-query) ---
+    "q20_image_tile_assign" -> gq { (s, dir) =>
+      import graft.data.Images
+      Images.withTile(Images.generate(s, imageScale(dir)).toDF(), 30)
+        .select("image_id", "lon", "lat", "tile")
+    },
+    "q21_image_box_join" -> gq { (s, dir) =>
+      // box query over the hot cluster + per-row invariant columns:
+      // psnr_db ≥ 40 (lossy) and caption equality survive the join
+      import graft.data.Images
+      val tiled = Images.withTile(Images.generate(s, imageScale(dir)).toDF(), 20)
+      val got = SpatialOps.boxQuery(tiled, "lon", "lat", BBox(-0.25, 51.375, 0.0, 51.625), 20)
+      Images.withPsnr(got)
+        .withColumn("caption_ok", col("caption") === udf((id: String) => graft.data.ImageGen.captionOf(id)).apply(col("image_id")))
+        .where(col("psnr_db") >= 40.0 && col("caption_ok"))
+        .select("image_id", "tile", "fmt", "psnr_db", "caption_ok")
     },
     // --- relational baseline (engine competence; DECIMAL sums for parity) ---
     "q12_pricing_agg" -> gq { (s, dir) =>

@@ -1,0 +1,108 @@
+package graft.data
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.BBox
+import graft.engine.SpatialOps
+import graft.sql.{GraftSpark, functions => gf}
+
+/** End-to-end north_rule pipeline over the image+caption table:
+  * generate → tile-assign → Iceberg-style checkpointed write → box-query
+  * join → per-row invariants (PSNR ≥ 40 dB lossy / exact lossless, caption
+  * byte-equality, phash integrity) → kill/resume parity. */
+class ImagePipelineSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.session("local[4]", appName = "img-spec")
+  import spark.implicits._
+
+  val N = 600L
+
+  test("generator is deterministic and schema matches input_hint") {
+    val a = Images.generate(spark, 50, 4).collect().sortBy(_.image_id)
+    val b = Images.generate(spark, 50, 2).collect().sortBy(_.image_id)
+    assert(a.length == 50)
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.image_id == y.image_id && x.caption == y.caption && x.phash == y.phash)
+      assert(java.util.Arrays.equals(x.bytes, y.bytes))
+    }
+    val schema = Images.generate(spark, 1).toDF().schema
+    assert(schema.map(f => (f.name, f.dataType.simpleString)) == Seq(
+      "image_id" -> "string", "bytes" -> "binary", "w" -> "int", "h" -> "int",
+      "fmt" -> "string", "caption" -> "string", "phash" -> "bigint"))
+  }
+
+  test("per-row invariants: phash integrity + PSNR thresholds") {
+    val df = Images.withPsnr(Images.withRehash(Images.generate(spark, N).toDF())).cache()
+    try {
+      assert(df.where($"phash" =!= $"phash_recomputed").count() == 0, "phash mismatch")
+      // lossless fmts decode exactly; jpg must clear the 40 dB bar
+      assert(df.where($"fmt".isin("png", "raw") && $"psnr_db" < 1e9).count() == 0)
+      val worstJpg = df.where($"fmt" === "jpg").agg(min($"psnr_db")).collect()(0).getDouble(0)
+      assert(worstJpg >= 40.0, s"worst jpg PSNR $worstJpg < 40 dB")
+    } finally df.unpersist()
+  }
+
+  test("tile assignment + box join preserves caption and pixels") {
+    val tiled = Images.withTile(Images.generate(spark, N).toDF(), 20)
+    val box = BBox(-0.25, 51.375, 0.0, 51.625) // hot cluster 0
+    val got = SpatialOps.boxQuery(tiled, "lon", "lat", box, 20)
+    // oracle: brute-force position filter recomputed from scratch
+    val expect = (0L until N).map(ImageGen.idOf).filter { id =>
+      val (lon, lat) = ImageGen.posOf(id)
+      lon >= box.minLon && lon <= box.maxLon && lat >= box.minLat && lat <= box.maxLat
+    }.toSet
+    val gotRows = got.select("image_id", "caption", "bytes", "w", "h", "fmt").collect()
+    assert(gotRows.map(_.getString(0)).toSet == expect)
+    assert(expect.nonEmpty, "hot-cluster box should not be empty")
+    gotRows.foreach { r =>
+      val id = r.getString(0)
+      assert(r.getString(1) == ImageGen.captionOf(id), s"caption corrupted for $id")
+      val rgb = ImageGen.decodeBytes(r.getAs[Array[Byte]](2), r.getInt(3), r.getInt(4), r.getString(5))
+      val p = ImageGen.psnr(rgb, ImageGen.pixelsOf(id, r.getInt(3), r.getInt(4)))
+      if (r.getString(5) == "jpg") assert(p >= 40.0, s"PSNR $p < 40 for $id")
+      else assert(p.isInfinity, s"lossless decode not exact for $id")
+    }
+  }
+
+  test("iceberg-lite: write/read round-trip, snapshot visibility, resume after kill") {
+    val dir = Files.createTempDirectory("iceberg_lite").toString
+    val tbl = s"$dir/images"
+    // partition by coarse tile prefix (the table layout for partition pruning)
+    def tiled = Images.withTile(Images.generate(spark, N).toDF(), 30)
+      .withColumn("tile_p1", gf.gh_parent($"tile", 30, 5))
+      .select("image_id", "bytes", "w", "h", "fmt", "caption", "phash", "tile", "tile_p1")
+
+    // one-shot reference write to a separate location
+    val refTbl = s"$dir/images_ref"
+    IcebergLite.write(tiled, refTbl, "tile_p1")
+    val ref = IcebergLite.read(spark, refTbl)
+
+    // crash after 3 partitions
+    val crashed = intercept[RuntimeException] {
+      IcebergLite.write(tiled, tbl, "tile_p1", failAfterPartitions = 3)
+    }
+    assert(crashed.getMessage.contains("injected"))
+    val partial = IcebergLite.readManifest(tbl).get
+    assert(partial.entries.size == 3, "checkpoint shows exactly the 3 committed partitions")
+    assert(IcebergLite.read(spark, tbl).count() ==
+      partial.entries.map(_.rows).sum, "read sees only committed partitions")
+
+    // resume: completes the remaining partitions
+    val m = IcebergLite.write(tiled, tbl, "tile_p1")
+    assert(m.parentSnapshotId == partial.snapshotId, "lineage chains snapshots")
+    val resumed = IcebergLite.read(spark, tbl)
+    assert(resumed.count() == N)
+    // byte-identical content vs one-shot write (order-independent)
+    assert(resumed.exceptAll(ref).isEmpty && ref.exceptAll(resumed).isEmpty,
+      "resumed table differs from one-shot write")
+    // checksums match partition-for-partition
+    val refM = IcebergLite.readManifest(refTbl).get
+    assert(m.entries.map(e => (e.partition, e.rows, e.checksum)).sortBy(_._1) ==
+      refM.entries.map(e => (e.partition, e.rows, e.checksum)).sortBy(_._1))
+    // second resume is a no-op returning the same snapshot
+    assert(IcebergLite.write(tiled, tbl, "tile_p1").snapshotId == m.snapshotId)
+    // lineage emission
+    assert(IcebergLite.lineageJson(tbl).size == m.entries.size)
+  }
+}
