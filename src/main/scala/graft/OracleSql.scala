@@ -83,4 +83,101 @@ object OracleSql {
     s"CAST(conv(substring(md5($s), 1, 15), 16, 10) AS BIGINT)"
   def hash60DuckSql(s: String): String =
     s"CAST(('0x' || substring(md5($s), 1, 15)) AS BIGINT)"
+
+  // ---- text-ops oracle fragments (DuckDB dialect, mirroring TextOps) ----
+
+  /** Whitespace tokens, empties dropped — TextOps.tokens. */
+  def tokensDuck(text: String): String =
+    s"list_filter(string_split_regex(trim($text), '\\s+'), t -> t <> '')"
+
+  /** 3-word shingles over a token-list column — TextOps.shingles3. */
+  def shingles3Duck(w: String): String =
+    s"list_transform(range(1, len($w) - 1), i -> $w[i] || ' ' || $w[i+1] || ' ' || $w[i+2])"
+
+  /** Distinct (doc_id, sh) shingle rows CTE prefix (defines _w and _sh). */
+  def shingleCtes(table: String, idCol: String, textCol: String): String =
+    s"""WITH _w AS (SELECT $idCol, ${tokensDuck(textCol)} AS w FROM $table),
+       | _sh AS (SELECT DISTINCT $idCol, sh FROM
+       |   (SELECT $idCol, unnest(list_distinct(${shingles3Duck("w")})) AS sh FROM _w WHERE len(w) >= 3))""".stripMargin.replace("\n", " ")
+
+  /** Full MinHash+LSH near-dup pair query (TextOps.minhashLshPairs). */
+  def minhashLshDuck(table: String, idCol: String, textCol: String,
+                     k: Int, bands: Int, threshold: Double): String = {
+    val rows = k / bands
+    val mins = (0 until k).map(i =>
+      s"min(${hash60DuckSql(s"'$i|' || sh")}) AS s$i").mkString(", ")
+    val bandExprs = (0 until bands).map { b =>
+      (0 until rows).map(r => s"CAST(s${b * rows + r} AS VARCHAR)")
+        .mkString("(", " || '_' || ", s") AS b$b")
+    }.mkString(", ")
+    val bandOr = (0 until bands).map(b => s"a.b$b = b.b$b").mkString(" OR ")
+    s"""${shingleCtes(table, idCol, textCol)},
+       | _sig AS (SELECT $idCol, $mins FROM _sh GROUP BY $idCol),
+       | _b AS (SELECT $idCol, $bandExprs FROM _sig),
+       | _cand AS (SELECT DISTINCT a.$idCol AS doc_a, b.$idCol AS doc_b
+       |           FROM _b a JOIN _b b ON a.$idCol < b.$idCol AND ($bandOr)),
+       | _cnt AS (SELECT $idCol, count(*) AS n FROM _sh GROUP BY $idCol),
+       | _int AS (SELECT doc_a, doc_b, count(*) AS inter
+       |          FROM _cand c JOIN _sh x ON x.$idCol = c.doc_a
+       |                       JOIN _sh y ON y.$idCol = c.doc_b AND y.sh = x.sh
+       |          GROUP BY doc_a, doc_b)
+       | SELECT i.doc_a, i.doc_b, inter, na.n AS n_a, nb.n AS n_b,
+       |        CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
+       | FROM _int i JOIN _cnt na ON na.$idCol = i.doc_a JOIN _cnt nb ON nb.$idCol = i.doc_b
+       | WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= $threshold""".stripMargin.replace("\n", " ")
+  }
+
+  /** 60-bit SimHash (TextOps.simhash60). */
+  def simhashDuck(table: String, idCol: String, textCol: String): String = {
+    val votes = (0 until 60).map(i =>
+      s"sum(CASE WHEN ((h >> $i) & 1) = 1 THEN 1 ELSE -1 END) AS v$i").mkString(", ")
+    val bits = (0 until 60).map(i =>
+      s"(CASE WHEN v$i > 0 THEN ${1L << i} ELSE 0 END)").mkString(" + ")
+    s"""WITH _tok AS (SELECT DISTINCT $idCol, t FROM
+       |   (SELECT $idCol, unnest(${tokensDuck(textCol)}) AS t FROM $table)),
+       | _h AS (SELECT $idCol, ${hash60DuckSql("t")} AS h FROM _tok),
+       | _v AS (SELECT $idCol, $votes FROM _h GROUP BY $idCol)
+       | SELECT $idCol, ($bits) AS simhash FROM _v""".stripMargin.replace("\n", " ")
+  }
+
+  // ---- embedding / ANN oracle fragments (mirroring AnnOps) ----
+
+  /** Left-to-right dot of a list column with constant vector (1-based). */
+  def dotConstDuck(emb: String, qv: Array[Double]): String =
+    qv.indices.map(j => s"CAST($emb[${j + 1}] AS DOUBLE) * ${qv(j)}").mkString("(", " + ", ")")
+
+  def norm2Duck(emb: String, dim: Int): String =
+    (0 until dim).map(j => s"CAST($emb[${j + 1}] AS DOUBLE) * CAST($emb[${j + 1}] AS DOUBLE)")
+      .mkString("(", " + ", ")")
+
+  /** Brute-force exact top-k cosine (AnnOps.annBrute). */
+  def annBruteDuck(table: String, idCol: String, embCol: String,
+                   dim: Int, nQueries: Int, k: Int): String = {
+    val selects = (0 until nQueries).map { q =>
+      val qv = graft.engine.AnnOps.queryVec(q, dim)
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      s"""SELECT $q AS qid, $idCol AS vec_id,
+         | ${dotConstDuck(embCol, qv)} / (sqrt(${norm2Duck(embCol, dim)}) * $qn) AS cosine
+         | FROM $table""".stripMargin.replace("\n", " ")
+    }.mkString(" UNION ALL ")
+    s"""WITH _all AS ($selects),
+       | _r AS (SELECT qid, vec_id, cosine,
+       |   row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rnk FROM _all)
+       | SELECT qid, rnk, vec_id, cosine FROM _r WHERE rnk <= $k""".stripMargin.replace("\n", " ")
+  }
+
+  /** Label-blocked near-dup pairs (AnnOps.blockedNearDup). */
+  def blockedNearDupDuck(table: String, idCol: String, embCol: String, labelCol: String,
+                         dim: Int, threshold: Double): String = {
+    val dot = (0 until dim).map(j =>
+      s"CAST(a.$embCol[${j + 1}] AS DOUBLE) * CAST(b.$embCol[${j + 1}] AS DOUBLE)")
+      .mkString("(", " + ", ")")
+    def n2(t: String) = (0 until dim).map(j =>
+      s"CAST($t.$embCol[${j + 1}] AS DOUBLE) * CAST($t.$embCol[${j + 1}] AS DOUBLE)")
+      .mkString("(", " + ", ")")
+    s"""WITH _p AS (SELECT a.$idCol AS vec_a, b.$idCol AS vec_b,
+       |   $dot / (sqrt(${n2("a")}) * sqrt(${n2("b")})) AS cosine
+       | FROM $table a JOIN $table b ON a.$labelCol = b.$labelCol AND a.$idCol < b.$idCol)
+       | SELECT vec_a, vec_b, cosine FROM _p WHERE cosine >= $threshold""".stripMargin.replace("\n", " ")
+  }
 }

@@ -131,6 +131,42 @@ object SparkEntry {
         .where(col("psnr_db") >= 40.0 && col("caption_ok"))
         .select("image_id", "tile", "fmt", "psnr_db", "caption_ok")
     },
+    // --- training-data pipeline ops: dedup family / text analysis / ANN ---
+    "q30_dedup_exact" -> gq { (s, dir) =>
+      ld(s, dir, "documents")
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min("doc_id").as("doc_id"), count("*").as("n"))
+        .select("doc_id", "fp", "n")
+    },
+    "q31_fingerprint" -> gq { (s, dir) =>
+      graft.engine.TextOps.fingerprint(ld(s, dir, "documents"), "doc_id", "text")
+    },
+    "q32_minhash_lsh" -> gq { (s, dir) =>
+      graft.engine.TextOps.minhashLshPairs(ld(s, dir, "documents"), "doc_id", "text")
+    },
+    "q33_simhash" -> gq { (s, dir) =>
+      graft.engine.TextOps.simhash60(ld(s, dir, "documents"), "doc_id", "text")
+    },
+    "q35_lang_id" -> gq { (s, dir) =>
+      graft.engine.TextOps.langId(ld(s, dir, "documents"), "doc_id", "text")
+    },
+    "q36_quality" -> gq { (s, dir) =>
+      graft.engine.TextOps.qualityScore(ld(s, dir, "documents"), "doc_id", "text")
+    },
+    "q37_token_count" -> gq { (s, dir) =>
+      ld(s, dir, "documents").select(col("doc_id"),
+        size(graft.engine.TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"),
+        length(col("text")).cast("bigint").as("n_chars_len"))
+    },
+    "q34_ann_topk" -> gq { (s, dir) =>
+      graft.engine.AnnOps.annBrute(ld(s, dir, "embeddings"), "vec_id", "embedding", 64, 3, 10)
+    },
+    "q39_embed_neardup" -> gq { (s, dir) =>
+      graft.engine.AnnOps.blockedNearDup(ld(s, dir, "embeddings"), "vec_id", "embedding", "label", 64, 0.45)
+    },
+    "q40_ann_lsh" -> gq { (s, dir) => // approximate (no oracle): SRP buckets + exact rerank
+      graft.engine.AnnOps.annLsh(ld(s, dir, "embeddings"), "vec_id", "embedding", 64, 3, 10)
+    },
     // --- relational baseline (engine competence; DECIMAL sums for parity) ---
     "q12_pricing_agg" -> gq { (s, dir) =>
       ld(s, dir, "lineitem")
@@ -216,6 +252,43 @@ object SparkEntry {
       },
       "q11_cell_histogram" ->
         s"""$custIdx SELECT ${tileSql("_gx", "_gy", 10)} AS tile, count(*) AS n FROM _idx GROUP BY 1""",
+      "q30_dedup_exact" ->
+        "SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS n FROM documents GROUP BY md5(text)",
+      "q31_fingerprint" ->
+        s"""SELECT doc_id, ${hash60DuckSql(
+            s"array_to_string(list_sort(list_distinct(${tokensDuck("text")})), ' ')")} AS fp
+           | FROM documents""".stripMargin.replace("\n", " "),
+      "q32_minhash_lsh" ->
+        minhashLshDuck("documents", "doc_id", "text",
+          graft.engine.TextOps.MinhashK, graft.engine.TextOps.Bands,
+          graft.engine.TextOps.JaccardThreshold),
+      "q33_simhash" -> simhashDuck("documents", "doc_id", "text"),
+      "q35_lang_id" -> {
+        val langs = graft.engine.TextOps.langMarkers
+        val counts = langs.map { case (l, ms) => // CAST: DuckDB sum(int) is HUGEINT
+          s"CAST(sum(CASE WHEN t IN (${ms.map(m => s"'$m'").mkString(", ")}) THEN 1 ELSE 0 END) AS BIGINT) AS c_$l"
+        }.mkString(", ")
+        val names = langs.map(_._1)
+        val pred = names.foldRight("'und'") { (l, els) =>
+          val beats = names.filter(_ != l).map(o => s"c_$l >= c_$o").mkString(" AND ")
+          s"CASE WHEN c_$l > 0 AND $beats THEN '$l' ELSE $els END"
+        }
+        s"""WITH _tok AS (SELECT doc_id, unnest(${tokensDuck("text")}) AS t FROM documents),
+           | _c AS (SELECT doc_id, $counts FROM _tok GROUP BY doc_id)
+           | SELECT doc_id, $pred AS pred_lang, ${names.map(l => s"c_$l").mkString(", ")} FROM _c""".stripMargin.replace("\n", " ")
+      },
+      "q36_quality" ->
+        s"""WITH _tok AS (SELECT doc_id, unnest(${tokensDuck("text")}) AS t FROM documents)
+           | SELECT doc_id, count(*) AS n_tokens, count(DISTINCT t) AS n_distinct,
+           |   CAST(count(DISTINCT t) AS DOUBLE) / count(*) AS ttr,
+           |   CAST(sum(length(t)) AS DOUBLE) / count(*) AS avg_token_len
+           | FROM _tok GROUP BY doc_id""".stripMargin.replace("\n", " "),
+      "q37_token_count" ->
+        s"""SELECT doc_id, CAST(len(${tokensDuck("text")}) AS BIGINT) AS n_tokens,
+           | CAST(length(text) AS BIGINT) AS n_chars_len FROM documents""".stripMargin.replace("\n", " "),
+      "q34_ann_topk" -> annBruteDuck("embeddings", "vec_id", "embedding", 64, 3, 10),
+      "q39_embed_neardup" ->
+        blockedNearDupDuck("embeddings", "vec_id", "embedding", "label", 64, 0.45),
       "q12_pricing_agg" ->
         """SELECT l_returnflag, l_linestatus,
           | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

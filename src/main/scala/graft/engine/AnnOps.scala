@@ -1,0 +1,103 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor / embedding similarity operators over an
+  * `embedding: array<float>` column (dim fixed per table).
+  *
+  * Numeric parity with the DuckDB oracle: dot products and norms are built
+  * as explicit left-to-right chains of `cast(e[i] as double) * q_i`
+  * additions — the oracle emits the same chain — so doubles agree bitwise
+  * (float→double widening and IEEE ops are exact/correctly rounded in both
+  * engines).
+  */
+object AnnOps {
+  /** Deterministic rational query vectors (exact decimal literals on both
+    * sides): qv(q)(j) = ((q*dim + j) * 37 % 190 - 90) / 100. */
+  def queryVec(q: Int, dim: Int): Array[Double] =
+    Array.tabulate(dim)(j => (((q * dim + j) * 37) % 190 - 90) / 100.0)
+
+  private def elemD(embCol: String, j: Int): Column =
+    element_at(col(embCol), j + 1).cast("double")
+
+  /** Left-to-right dot product with a constant vector. */
+  def dotConst(embCol: String, qv: Array[Double]): Column =
+    qv.indices.map(j => elemD(embCol, j) * lit(qv(j))).reduce(_ + _)
+
+  /** Left-to-right squared norm of the embedding column. */
+  def norm2(embCol: String, dim: Int): Column =
+    (0 until dim).map(j => elemD(embCol, j) * elemD(embCol, j)).reduce(_ + _)
+
+  /** Brute-force exact top-k by cosine for nQueries fixed query vectors.
+    * Output (qid, rnk, vec_id, cosine). Scale note: this is the baseline /
+    * rerank primitive — a full scan per query batch with a top-k window;
+    * the scan is shared across queries (queries are literals in one pass).
+    */
+  def annBrute(emb: DataFrame, idCol: String, embCol: String,
+               dim: Int, nQueries: Int, k: Int): DataFrame = {
+    val perQuery = (0 until nQueries).map { q =>
+      val qv = queryVec(q, dim)
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      val cos = (dotConst(embCol, qv) / (sqrt(norm2(embCol, dim)) * lit(qn))).as("cosine")
+      emb.select(lit(q).as("qid"), col(idCol).as("vec_id"), cos)
+    }
+    val all = perQuery.reduce(_ unionAll _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id").asc)
+    all.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "cosine")
+  }
+
+  /** Sign-random-projection LSH bucket id (nPlanes fixed deterministic
+    * hyperplanes — rows of [[queryVec]] offset by 100). The scale path:
+    * bucket once, shuffle by bucket, compare only within buckets. */
+  def srpBucket(embCol: String, dim: Int, nPlanes: Int): Column =
+    (0 until nPlanes).map { p =>
+      when(dotConst(embCol, queryVec(100 + p, dim)) >= 0, lit(1L << p)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: exact cosine rerank, but only among vectors whose
+    * SRP bucket matches the query's bucket (approximate recall, no full
+    * scan). Output (qid, rnk, vec_id, cosine). */
+  def annLsh(emb: DataFrame, idCol: String, embCol: String,
+             dim: Int, nQueries: Int, k: Int, nPlanes: Int = 8): DataFrame = {
+    val bucketed = emb.withColumn("_bucket", srpBucket(embCol, dim, nPlanes))
+    val perQuery = (0 until nQueries).map { q =>
+      val qv = queryVec(q, dim)
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      val qBucket = // the query's own bucket, computed the same way
+        (0 until nPlanes).map { p =>
+          val plane = queryVec(100 + p, dim)
+          val d = qv.indices.map(j => qv(j) * plane(j)).sum
+          if (d >= 0) 1L << p else 0L
+        }.sum
+      val cos = (dotConst(embCol, qv) / (sqrt(norm2(embCol, dim)) * lit(qn))).as("cosine")
+      bucketed.where(col("_bucket") === qBucket)
+        .select(lit(q).as("qid"), col(idCol).as("vec_id"), cos)
+    }
+    val all = perQuery.reduce(_ unionAll _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id").asc)
+    all.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "cosine")
+  }
+
+  /** Embedding near-duplicate pairs, label-blocked (compare only within the
+    * same `label` block — the blocking pattern that avoids O(n²) at scale).
+    * Output (vec_a, vec_b, cosine ≥ threshold). */
+  def blockedNearDup(emb: DataFrame, idCol: String, embCol: String, labelCol: String,
+                     dim: Int, threshold: Double): DataFrame = {
+    val a = emb.select(col(labelCol).as("_l"), col(idCol).as("vec_a"), col(embCol).as("_ea"))
+    val b = emb.select(col(labelCol).as("_l"), col(idCol).as("vec_b"), col(embCol).as("_eb"))
+    val dot = (0 until dim).map(j =>
+      element_at(col("_ea"), j + 1).cast("double") * element_at(col("_eb"), j + 1).cast("double"))
+      .reduce(_ + _)
+    val cos = dot / (sqrt(norm2("_ea", dim)) * sqrt(norm2("_eb", dim)))
+    a.join(b, Seq("_l")).where(col("vec_a") < col("vec_b"))
+      .withColumn("cosine", cos)
+      .where(col("cosine") >= threshold)
+      .select("vec_a", "vec_b", "cosine")
+  }
+}

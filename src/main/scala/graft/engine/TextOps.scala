@@ -1,0 +1,131 @@
+package graft.engine
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Training-data text operators (dedup family, language ID, quality
+  * scoring, fingerprinting) — large-scale pipeline extensions over the
+  * `documents` table. Everything is built from codegen'd built-ins; the
+  * only hash shared with the DuckDB oracle is md5 (both engines implement
+  * RFC 1321), truncated to 60 bits so values stay positive in BIGINT.
+  */
+object TextOps {
+  val MinhashK = 16   // signature length
+  val Bands = 4       // LSH bands of 4 rows each
+  val JaccardThreshold = 0.8
+
+  /** Whitespace tokens, empties dropped (trim + split — the exact same
+    * semantics as the oracle's string_split_regex). */
+  def tokens(text: Column): Column =
+    filter(split(trim(text), "\\s+"), t => t =!= "")
+
+  /** 3-word shingles, 1-based positions i=1..n-2 (mirrors the oracle's
+    * list_transform(range(...)) form). Caller guards size >= 3. */
+  def shingles3(words: Column): Column =
+    transform(sequence(lit(1), size(words) - 2), i =>
+      concat_ws(" ", element_at(words, i), element_at(words, i + 1), element_at(words, i + 2)))
+
+  /** 60-bit md5 hash — identical to DuckDB `CAST('0x'||substring(md5(s),1,15) AS BIGINT)`. */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("bigint")
+
+  /** (doc_id, sh) distinct 3-shingles per doc. */
+  def shingleSet(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = tokens(col(textCol))
+    docs.select(col(idCol), w.as("_w"))
+      .where(size(col("_w")) >= 3)
+      .select(col(idCol), explode(array_distinct(shingles3(col("_w")))).as("sh"))
+  }
+
+  /** MinHash signature columns s0..s{k-1}: per seed i, min over shingles of
+    * hash60(i || '|' || shingle). */
+  def minhashSignatures(shingleDf: DataFrame, idCol: String): DataFrame = {
+    val aggs = (0 until MinhashK).map(i =>
+      min(hash60(concat(lit(s"$i|"), col("sh")))).as(s"s$i"))
+    shingleDf.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH near-duplicate pairs with exact-jaccard verification.
+    * Scale path: signatures explode into (band_idx, band_key) rows and
+    * candidates come from an equi-join on the band key — a plain shuffle
+    * hash join, no O(n²) compare. Exact jaccard then filters candidates.
+    * Output: (doc_a, doc_b, inter, n_a, n_b, jaccard). */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = JaccardThreshold): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol).cache()
+    val sig = minhashSignatures(sh, idCol)
+    val rowsPerBand = MinhashK / Bands
+    val bandKey = (b: Int) => concat_ws("_",
+      (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}").cast("string")): _*)
+    val bands = sig.select(col(idCol),
+      explode(array((0 until Bands).map(b =>
+        struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
+      .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+    val cand = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+      .distinct()
+    val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = cand
+      .join(sh.as("x"), col("doc_a") === col(s"x.$idCol"))
+      .join(sh.as("y"), col("doc_b") === col(s"y.$idCol") && col("y.sh") === col("x.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    val j = col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter"))
+    inter
+      .join(cnt.select(col(idCol).as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(cnt.select(col(idCol).as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard", j)
+      .where(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+  }
+
+  /** 60-bit SimHash over the distinct unigram token set. */
+  def simhash60(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("t"))
+      .withColumn("h", hash60(col("t")))
+    val votes = (0 until 60).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i"))
+    val withVotes = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+    val bits = (0 until 60).map(i =>
+      when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    withVotes.select(col(idCol), bits.as("simhash"))
+  }
+
+  /** Stopword-marker language ID (n-gram-free heuristic): count per-language
+    * marker tokens, argmax with fixed priority order, 'und' when no marker. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of"), "de" -> Seq("der", "die", "das"),
+    "fr" -> Seq("le", "la", "les"), "es" -> Seq("el", "los", "las"))
+
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+    val counts = langMarkers.map { case (lang, ms) =>
+      sum(when(col("t").isin(ms: _*), 1).otherwise(0)).as(s"c_$lang") }
+    val agg = tok.groupBy(col(idCol)).agg(counts.head, counts.tail: _*)
+    val langs = langMarkers.map(_._1)
+    val pred = langs.foldRight(lit("und"): Column) { (lang, els) =>
+      val c = col(s"c_$lang")
+      val beats = langs.filter(_ != lang).map(o => c >= col(s"c_$o")).reduce(_ && _)
+      when(c > 0 && beats, lit(lang)).otherwise(els)
+    }
+    agg.select(col(idCol) +: pred.as("pred_lang") +: langs.map(l => col(s"c_$l")): _*)
+  }
+
+  /** Quality metrics: token count, distinct count, type-token ratio,
+    * mean token length. */
+  def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+    tok.groupBy(col(idCol)).agg(
+      count(lit(1)).as("n_tokens"),
+      countDistinct(col("t")).as("n_distinct"),
+      (count_distinct(col("t")).cast("double") / count(lit(1))).as("ttr"),
+      (sum(length(col("t"))).cast("double") / count(lit(1))).as("avg_token_len"))
+  }
+
+  /** Document fingerprint: 60-bit hash of the canonical (sorted distinct)
+    * token sequence — an order-insensitive exact-dedup key. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      hash60(array_join(array_sort(array_distinct(tokens(col(textCol)))), " ")).as("fp"))
+}
