@@ -83,6 +83,15 @@ object SparkEntry {
         .withColumn("rnk", col("rank").cast("bigint")) // DuckDB row_number is BIGINT
         .select("qid", "rnk", "c_custkey")
     },
+    "q07_knn_ring" -> gq { (s, dir) =>
+      // cell-ring-expansion kNN (north_star op) — exact, so it shares the
+      // brute-force oracle for query point 1
+      SpatialOps.knnRing(
+        SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey"),
+        "lon", "lat", 1, knnQueries.head._2, knnQueries.head._3, 10, 20, "c_custkey")
+        .withColumn("rnk", col("rank").cast("bigint"))
+        .select("qid", "rnk", "c_custkey")
+    },
     "q08_pip" -> gq { (s, dir) =>
       SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey")
         .where(gf.st_contains_wkt(lit(franceWkt), col("lon"), col("lat")))
@@ -167,6 +176,10 @@ object SparkEntry {
     "q40_ann_lsh" -> gq { (s, dir) => // approximate (no oracle): SRP buckets + exact rerank
       graft.engine.AnnOps.annLsh(ld(s, dir, "embeddings"), "vec_id", "embedding", 64, 3, 10)
     },
+    // --- streaming (Structured Streaming; result == batch GROUP BY) ---
+    "q50_stream_window" -> gq { (s, dir) =>
+      graft.engine.StreamOps.streamedWindowAgg(s, s"$dir/events.parquet")
+    },
     // --- relational baseline (engine competence; DECIMAL sums for parity) ---
     "q12_pricing_agg" -> gq { (s, dir) =>
       ld(s, dir, "lineitem")
@@ -226,6 +239,16 @@ object SparkEntry {
            | _r AS (SELECT qid, c_custkey,
            |          row_number() OVER (PARTITION BY qid ORDER BY dist ASC, c_custkey ASC) AS rnk
            |        FROM _d)
+           | SELECT qid, rnk, c_custkey FROM _r WHERE rnk <= 10""".stripMargin.replace("\n", " ")
+      },
+      "q07_knn_ring" -> {
+        val (q, x, y) = knnQueries.head
+        s"""$custIdx, _d AS (
+           |   SELECT $q AS qid, c_custkey,
+           |          (_lon - $x) * (_lon - $x) + (_lat - $y) * (_lat - $y) AS dist
+           |   FROM _idx),
+           | _r AS (SELECT qid, c_custkey,
+           |          row_number() OVER (ORDER BY dist ASC, c_custkey ASC) AS rnk FROM _d)
            | SELECT qid, rnk, c_custkey FROM _r WHERE rnk <= 10""".stripMargin.replace("\n", " ")
       },
       "q08_pip" ->
@@ -289,6 +312,10 @@ object SparkEntry {
       "q34_ann_topk" -> annBruteDuck("embeddings", "vec_id", "embedding", 64, 3, 10),
       "q39_embed_neardup" ->
         blockedNearDupDuck("embeddings", "vec_id", "embedding", "label", 64, 0.45),
+      "q50_stream_window" ->
+        """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+          | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
+          | FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
       "q12_pricing_agg" ->
         """SELECT l_returnflag, l_linestatus,
           | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

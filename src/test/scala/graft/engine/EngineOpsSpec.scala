@@ -1,0 +1,67 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.BBox
+import graft.sql.GraftSpark
+
+class EngineOpsSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.session("local[4]", appName = "engine-spec")
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+  def customers = SpatialOps.withDerivedPosition(
+    spark.read.parquet(s"$sf/customer.parquet").select("c_custkey"), "c_custkey")
+
+  test("knnRing == knnBrute for several query points, ks and precisions") {
+    val pts = Seq((-0.75, 51.25), (139.75, 35.5), (10.0, -40.0), (-120.5, 60.25))
+    for (((qx, qy), qi) <- pts.zipWithIndex; k <- Seq(3, 10); bits <- Seq(16, 20)) {
+      val brute = SpatialOps.knnBrute(customers, "lon", "lat", Seq((qi, qx, qy)), k, "c_custkey")
+        .select("qid", "rank", "c_custkey").collect().map(r => (r.getInt(1), r.getLong(2))).sorted
+      val ring = SpatialOps.knnRing(customers, "lon", "lat", qi, qx, qy, k, bits, "c_custkey")
+        .select("rank", "c_custkey").collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+      assert(ring.toSeq == brute.toSeq, s"q=($qx,$qy) k=$k bits=$bits")
+    }
+  }
+
+  test("saltedCellJoin == plain join (row-identical)") {
+    val c = SpatialOps.withTile(customers, "lon", "lat", 12)
+      .select($"c_custkey", $"tile")
+    val s = SpatialOps.withTile(SpatialOps.withDerivedPosition(
+      spark.read.parquet(s"$sf/supplier.parquet").select("s_suppkey"), "s_suppkey"),
+      "lon", "lat", 12).select($"s_suppkey", $"tile")
+    val plain = c.join(s, "tile").select("tile", "c_custkey", "s_suppkey")
+    val salted = SpatialOps.saltedCellJoin(c, s, "tile", "c_custkey", 4)
+      .select("tile", "c_custkey", "s_suppkey")
+    assert(salted.exceptAll(plain).isEmpty && plain.exceptAll(salted).isEmpty)
+    assert(plain.count() > 0)
+  }
+
+  test("boxQuery refine=false is a superset (cell-coarse, reference parity mode)") {
+    val box = BBox(-0.75, 51.0, 0.25, 52.0)
+    val coarse = SpatialOps.boxQuery(customers, "lon", "lat", box, 20, refine = false)
+    val exact = SpatialOps.boxQuery(customers, "lon", "lat", box, 20)
+    assert(exact.exceptAll(coarse).isEmpty, "refined must be subset of coarse")
+    assert(coarse.count() >= exact.count())
+  }
+
+  test("streamed window agg == batch group by") {
+    val streamed = StreamOps.streamedWindowAgg(spark, s"$sf/events.parquet")
+    val batch = spark.read.parquet(s"$sf/events.parquet")
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+           expr("CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("sum_val"))
+      .select($"w.start".as("ws"), $"event_type", $"n", $"sum_val")
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(batch.count() > 0)
+  }
+
+  test("explain: box query pushes tile equi-join to broadcast hash join, no shuffle of big side") {
+    val box = BBox(-0.75, 51.0, 0.25, 52.0)
+    val plan = SpatialOps.boxQuery(customers, "lon", "lat", box, 20)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("SortMergeJoin"), plan)
+  }
+}
