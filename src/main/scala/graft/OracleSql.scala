@@ -84,6 +84,49 @@ object OracleSql {
   def hash60DuckSql(s: String): String =
     s"CAST(('0x' || substring(md5($s), 1, 15)) AS BIGINT)"
 
+  // ---- cube-face Morton quadkey (S2-style faces, SQL-expressible ordering;
+  //      the Hilbert variant lives in graft.core.S2Quad and is checked by
+  //      Scala tests — Hilbert needs a loop, which SQL can't express) ----
+
+  /** Ordered (column, expression) steps computing the quadkey; expressions
+    * reference previous step columns. The SAME text runs in Spark and DuckDB
+    * (both support <<, &, |; trig differs by ≤1 ulp which is ~2^-40 of a
+    * cell at the levels used — negligible vs the row counts involved). */
+  def quadkeySteps(lon: String, lat: String, level: Int): Seq[(String, String)] = {
+    val n = 1L << level
+    def st(u: String) =
+      s"CASE WHEN $u >= 0 THEN 0.5 * sqrt(1 + 3 * $u) ELSE 1 - 0.5 * sqrt(1 - 3 * $u) END"
+    def idx(s: String) =
+      s"LEAST(GREATEST(CAST(floor($s * $n.0) AS BIGINT), 0), ${n - 1})"
+    Seq(
+      "_x" -> s"cos(radians($lat)) * cos(radians($lon))",
+      "_y" -> s"cos(radians($lat)) * sin(radians($lon))",
+      "_z" -> s"sin(radians($lat))",
+      "_f" -> ("CASE WHEN abs(_x) >= abs(_y) AND abs(_x) >= abs(_z) THEN (CASE WHEN _x >= 0 THEN 0 ELSE 3 END) " +
+               "WHEN abs(_y) >= abs(_z) THEN (CASE WHEN _y >= 0 THEN 1 ELSE 4 END) " +
+               "ELSE (CASE WHEN _z >= 0 THEN 2 ELSE 5 END) END"),
+      "_u" -> ("CASE _f WHEN 0 THEN _y / _x WHEN 1 THEN (0.0 - _x) / _y WHEN 2 THEN (0.0 - _x) / _z " +
+               "WHEN 3 THEN _z / _x WHEN 4 THEN _z / _y ELSE (0.0 - _y) / _z END"),
+      "_v" -> ("CASE _f WHEN 0 THEN _z / _x WHEN 1 THEN _z / _y WHEN 2 THEN (0.0 - _y) / _z " +
+               "WHEN 3 THEN _y / _x WHEN 4 THEN (0.0 - _x) / _y ELSE (0.0 - _x) / _z END"),
+      "_s" -> st("_u"),
+      "_t" -> st("_v"),
+      "_qi" -> idx("_s"),
+      "_qj" -> idx("_t"),
+      "quad" -> s"(CAST(_f AS BIGINT) * ${1L << (2 * level)}) + ((${spreadSql("_qi")} << 1) | ${spreadSql("_qj")})")
+  }
+
+  /** DuckDB CTE chain for the quadkey over a key-derived-position table. */
+  def quadkeyDuck(table: String, key: String, level: Int): String = {
+    val base = s"SELECT $key, ${lonSql(key)} AS _lon, ${latSql(key)} AS _lat FROM $table"
+    val steps = quadkeySteps("_lon", "_lat", level)
+    val ctes = steps.zipWithIndex.foldLeft(s"WITH _c0 AS ($base)") {
+      case (acc, ((col, expr), i)) =>
+        s"$acc, _c${i + 1} AS (SELECT *, $expr AS $col FROM _c$i)"
+    }
+    s"$ctes SELECT $key, quad FROM _c${steps.size}"
+  }
+
   // ---- text-ops oracle fragments (DuckDB dialect, mirroring TextOps) ----
 
   /** Whitespace tokens, empties dropped — TextOps.tokens. */

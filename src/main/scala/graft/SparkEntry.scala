@@ -140,6 +140,23 @@ object SparkEntry {
         .where(col("psnr_db") >= 40.0 && col("caption_ok"))
         .select("image_id", "tile", "fmt", "psnr_db", "caption_ok")
     },
+    // --- second cell system: S2-style quad (BASELINE.json north_star) ---
+    "q14_quadkey" -> gq { (s, dir) =>
+      // cube-face Morton quadkey: same fragment text evaluates in DuckDB
+      val base = SpatialOps.withDerivedPosition(
+        ld(s, dir, "customer").select("c_custkey"), "c_custkey")
+      quadkeySteps("lon", "lat", 12).foldLeft(base) {
+        case (df, (c, e)) => df.withColumn(c, expr(e))
+      }.select("c_custkey", "quad")
+    },
+    "q15_s2_cells" -> gq { (s, dir) => // Hilbert S2-style ids (no SQL oracle: loop)
+      val pos = SpatialOps.withDerivedPosition(
+        ld(s, dir, "customer").select("c_custkey"), "c_custkey")
+      pos.withColumn("s2", gf.s2_cell(col("lon"), col("lat"), 12))
+        .withColumn("s2_parent", gf.s2_parent(col("s2"), 12, 8))
+        .withColumn("s2_token", gf.s2_token(col("s2"), 12))
+        .select("c_custkey", "s2", "s2_parent", "s2_token")
+    },
     // --- training-data pipeline ops: dedup family / text analysis / ANN ---
     "q30_dedup_exact" -> gq { (s, dir) =>
       ld(s, dir, "documents")
@@ -275,6 +292,7 @@ object SparkEntry {
       },
       "q11_cell_histogram" ->
         s"""$custIdx SELECT ${tileSql("_gx", "_gy", 10)} AS tile, count(*) AS n FROM _idx GROUP BY 1""",
+      "q14_quadkey" -> quadkeyDuck("customer", "c_custkey", 12),
       "q30_dedup_exact" ->
         "SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS n FROM documents GROUP BY md5(text)",
       "q31_fingerprint" ->

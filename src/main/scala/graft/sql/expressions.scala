@@ -262,6 +262,79 @@ case class StContainsWkt(first: Expression, second: Expression, third: Expressio
     copy(first = f, second = s, third = t)
 }
 
+/** s2_cell(lon, lat, level) → LONG — S2-style cube-face + Hilbert cell id
+  * (extension per BASELINE.json north_star; see graft.core.S2Quad). */
+case class S2CellId(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "s2_cell"
+
+  override def nullSafeEval(lon: Any, lat: Any, level: Any): Any = {
+    val lo = lon.asInstanceOf[Double]; val la = lat.asInstanceOf[Double]
+    if (lo.isNaN || la.isNaN) null
+    else graft.core.S2Quad.cellId(lo, la, level.asInstanceOf[Int])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lon, lat, level) => s"""
+      if (${ghExpr.nanGuard2.format(lon, lat)}) { ${ev.isNull} = true; }
+      else { ${ev.value} = graft.core.S2Quad.cellId($lon, $lat, $level); }""")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** s2_parent(id, level, parent_level) → LONG (quadtree zoom-out). */
+case class S2Parent(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "s2_parent"
+  override def nullSafeEval(id: Any, level: Any, plevel: Any): Any =
+    graft.core.S2Quad.parent(id.asInstanceOf[Long], level.asInstanceOf[Int], plevel.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (i, l, p) => s"graft.core.S2Quad.parent($i, $l, $p)")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** s2_center(id, level) → STRUCT<lon, lat>. */
+case class S2Center(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    StructType(Seq(StructField("lon", DoubleType, false), StructField("lat", DoubleType, false)))
+  override def prettyName: String = "s2_center"
+  override def nullSafeEval(id: Any, level: Any): Any = {
+    val (lon, lat) = graft.core.S2Quad.center(id.asInstanceOf[Long], level.asInstanceOf[Int])
+    InternalRow(lon, lat)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** s2_neighbors(id, level) → ARRAY<LONG> — ≤8 edge/corner neighbors,
+  * cross-face aware. */
+case class S2Neighbors(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "s2_neighbors"
+  override def nullSafeEval(id: Any, level: Any): Any =
+    new GenericArrayData(graft.core.S2Quad.neighbors(id.asInstanceOf[Long], level.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** s2_token(id, level) → STRING — display/interop form. */
+case class S2Token(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "s2_token"
+  override def nullSafeEval(id: Any, level: Any): Any =
+    UTF8String.fromString(graft.core.S2Quad.token(id.asInstanceOf[Long], level.asInstanceOf[Int]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (i, l) =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.core.S2Quad.token($i, $l))")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** gh_covering(min_lon, min_lat, max_lon, max_lat, bits) → ARRAY<LONG> —
   * scalar form of the reference's bounding_boxes covering (#8); used to
   * build the broadcast side of box joins. Capped at 2^20 cells. */

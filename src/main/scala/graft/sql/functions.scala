@@ -53,6 +53,16 @@ object GraftFunctions {
       (e: Seq[Expression]) => { require(e.length == 4, "haversine_m(lon1, lat1, lon2, lat2)"); HaversineM(cD(e(0)), cD(e(1)), cD(e(2)), cD(e(3))) }),
     ("st_contains_wkt", "st_contains_wkt(wkt, lon, lat) - point in WKT polygon",
       (e: Seq[Expression]) => { require(e.length == 3, "st_contains_wkt(wkt, lon, lat)"); StContainsWkt(cS(e(0)), cD(e(1)), cD(e(2))) }),
+    ("s2_cell", "s2_cell(lon, lat, level) - S2-style cube-face+Hilbert cell id",
+      (e: Seq[Expression]) => { require(e.length == 3, "s2_cell(lon, lat, level)"); S2CellId(cD(e(0)), cD(e(1)), cI(e(2))) }),
+    ("s2_parent", "s2_parent(id, level, parent_level) - quadtree zoom out",
+      (e: Seq[Expression]) => { require(e.length == 3, "s2_parent(id, level, parent_level)"); S2Parent(cL(e(0)), cI(e(1)), cI(e(2))) }),
+    ("s2_center", "s2_center(id, level) - cell center struct(lon, lat)",
+      (e: Seq[Expression]) => { require(e.length == 2, "s2_center(id, level)"); S2Center(cL(e(0)), cI(e(1))) }),
+    ("s2_neighbors", "s2_neighbors(id, level) - adjacent cells (cross-face aware)",
+      (e: Seq[Expression]) => { require(e.length == 2, "s2_neighbors(id, level)"); S2Neighbors(cL(e(0)), cI(e(1))) }),
+    ("s2_token", "s2_token(id, level) - display token",
+      (e: Seq[Expression]) => { require(e.length == 2, "s2_token(id, level)"); S2Token(cL(e(0)), cI(e(1))) }),
     ("gh_covering", "gh_covering(min_lon, min_lat, max_lon, max_lat, bits) - array of covering cells",
       (e: Seq[Expression]) => GhCoveringArray(e.take(4).map(cD) :+ cI(e(4)))),
     ("gh_covering_cells", "gh_covering_cells(min_lon, min_lat, max_lon, max_lat, bits) - generator: one row per covering cell",
@@ -99,6 +109,13 @@ object functions {
     call_function("haversine_m", lon1, lat1, lon2, lat2)
   def st_contains_wkt(wkt: Column, lon: Column, lat: Column): Column =
     call_function("st_contains_wkt", wkt, lon, lat)
+  def s2_cell(lon: Column, lat: Column, level: Int): Column =
+    call_function("s2_cell", lon, lat, lit(level))
+  def s2_parent(id: Column, level: Int, parentLevel: Int): Column =
+    call_function("s2_parent", id, lit(level), lit(parentLevel))
+  def s2_center(id: Column, level: Int): Column = call_function("s2_center", id, lit(level))
+  def s2_neighbors(id: Column, level: Int): Column = call_function("s2_neighbors", id, lit(level))
+  def s2_token(id: Column, level: Int): Column = call_function("s2_token", id, lit(level))
   def gh_covering(minLon: Column, minLat: Column, maxLon: Column, maxLat: Column, bits: Int): Column =
     call_function("gh_covering", minLon, minLat, maxLon, maxLat, lit(bits))
   def gh_covering_cells(minLon: Column, minLat: Column, maxLon: Column, maxLat: Column, bits: Int): Column =
