@@ -92,6 +92,33 @@ object SparkEntry {
         .withColumn("rnk", col("rank").cast("bigint"))
         .select("qid", "rnk", "c_custkey")
     },
+    "q16_multi_box" -> gq { (s, dir) =>
+      // all boxes answered in ONE scan (the 100 TB shape)
+      val boxes = Seq(0 -> londonBox, 1 -> BBox(139.25, 35.25, 140.25, 36.25), 2 -> amBox)
+      SpatialOps.multiBoxQuery(
+        SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey"),
+        "lon", "lat", boxes, 20)
+        .select("box_id", "c_custkey")
+    },
+    "q17_covering_cells_join" -> gq { (s, dir) =>
+      // same result as q16 but via the GhCoveringCells GENERATOR (the
+      // distributed lattice walk): boxes explode into (box_id, cell) rows
+      import s.implicits._
+      val boxes = Seq(0 -> londonBox, 1 -> BBox(139.25, 35.25, 140.25, 36.25), 2 -> amBox)
+      val boxesDf = boxes.map { case (id, b) => (id, b.minLon, b.minLat, b.maxLon, b.maxLat) }
+        .toDF("box_id", "minLon", "minLat", "maxLon", "maxLat")
+      val cells = boxesDf.select(col("box_id"), col("minLon"), col("minLat"),
+        col("maxLon"), col("maxLat"),
+        expr("gh_covering_cells(minLon, minLat, maxLon, maxLat, 20)").as("cell"))
+      val pts = SpatialOps.withTile(
+        SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey"),
+        "lon", "lat", 20, "cell")
+      val lonPred = (col("minLon") <= col("maxLon") && col("lon") >= col("minLon") && col("lon") <= col("maxLon")) ||
+        (col("minLon") > col("maxLon") && (col("lon") >= col("minLon") || col("lon") <= col("maxLon")))
+      pts.join(broadcast(cells), "cell")
+        .where(lonPred && col("lat") >= col("minLat") && col("lat") <= col("maxLat"))
+        .select("box_id", "c_custkey")
+    },
     "q08_pip" -> gq { (s, dir) =>
       SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey")
         .where(gf.st_contains_wkt(lit(franceWkt), col("lon"), col("lat")))
@@ -267,6 +294,24 @@ object SparkEntry {
            | _r AS (SELECT qid, c_custkey,
            |          row_number() OVER (ORDER BY dist ASC, c_custkey ASC) AS rnk FROM _d)
            | SELECT qid, rnk, c_custkey FROM _r WHERE rnk <= 10""".stripMargin.replace("\n", " ")
+      },
+      "q16_multi_box" -> {
+        val boxes = Seq(0 -> londonBox, 1 -> BBox(139.25, 35.25, 140.25, 36.25), 2 -> amBox)
+        val branches = boxes.map { case (id, b) =>
+          val lonPred = if (b.minLon <= b.maxLon) s"_lon >= ${b.minLon} AND _lon <= ${b.maxLon}"
+                        else s"(_lon >= ${b.minLon} OR _lon <= ${b.maxLon})"
+          s"SELECT $id AS box_id, c_custkey FROM _idx WHERE $lonPred AND _lat >= ${b.minLat} AND _lat <= ${b.maxLat}"
+        }
+        s"$custIdx ${branches.mkString(" UNION ALL ")}"
+      },
+      "q17_covering_cells_join" -> { // generator path, same semantics as q16
+        val boxes = Seq(0 -> londonBox, 1 -> BBox(139.25, 35.25, 140.25, 36.25), 2 -> amBox)
+        val branches = boxes.map { case (id, b) =>
+          val lonPred = if (b.minLon <= b.maxLon) s"_lon >= ${b.minLon} AND _lon <= ${b.maxLon}"
+                        else s"(_lon >= ${b.minLon} OR _lon <= ${b.maxLon})"
+          s"SELECT $id AS box_id, c_custkey FROM _idx WHERE $lonPred AND _lat >= ${b.minLat} AND _lat <= ${b.maxLat}"
+        }
+        s"$custIdx ${branches.mkString(" UNION ALL ")}"
       },
       "q08_pip" ->
         s"""$custIdx SELECT c_custkey, _lon AS lon, _lat AS lat FROM _idx

@@ -105,6 +105,42 @@ object IcebergLite {
     m
   }
 
+  /** Reference `GeoHash.update` (SURVEY.md §3.2 #16): REPLACE the contents
+    * of every partition present in `df` (other partitions untouched), as a
+    * new snapshot. */
+  def update(df: DataFrame, table: String, partitionCol: String): Manifest = {
+    val spark = df.sparkSession
+    val prior = readManifest(table).getOrElse(
+      throw new IllegalStateException(s"update on uninitialized table $table"))
+    val snapshotId = prior.snapshotId + 1
+    val incoming = stats(df, partitionCol)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.write.mode("overwrite").partitionBy(partitionCol).parquet(s"$table/data")
+    val kept = prior.entries.filterNot(e => incoming.contains(e.partition))
+    val m = Manifest(snapshotId, prior.snapshotId, partitionCol,
+      kept ++ incoming.map { case (p, (r, c)) => PartitionEntry(p, r, c, snapshotId) })
+    commitManifest(table, m)
+    m
+  }
+
+  /** Reference `GeoHash.extend` (#17): APPEND rows to their partitions.
+    * Implemented as read-union-overwrite of only the touched partitions, so
+    * the commit stays atomic at partition granularity and a crashed extend
+    * is invisible until its manifest lands. */
+  def extend(df: DataFrame, table: String, partitionCol: String): Manifest = {
+    val spark = df.sparkSession
+    val prior = readManifest(table).getOrElse(
+      throw new IllegalStateException(s"extend on uninitialized table $table"))
+    val touched = stats(df, partitionCol).keySet
+    val existingTouched = read(spark, table)
+      .where(col(partitionCol).cast("string").isin(touched.toSeq: _*))
+      .select(df.columns.map(col): _*)
+    // localCheckpoint: materialize before overwriting the files being read
+    // (at real scale this is a file-level append; partition rewrite is the
+    // partition-granularity emulation)
+    update(existingTouched.unionAll(df).localCheckpoint(true), table, partitionCol)
+  }
+
   /** Read through the manifest: only committed partitions are visible. */
   def read(spark: SparkSession, table: String): DataFrame = {
     val m = readManifest(table).getOrElse(

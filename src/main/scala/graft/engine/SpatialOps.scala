@@ -56,6 +56,29 @@ object SpatialOps {
     }
   }
 
+  /** Many-box query in ONE scan: the covering cells of every box (tagged
+    * with box_id) form one broadcast side; candidates fall out of a single
+    * equi-join and the exact refine reads per-box bounds from the joined
+    * row. At 10¹² rows this is the only sane shape — per-box scans would
+    * multiply the read volume by the box count. A point inside k
+    * overlapping boxes yields k rows (one per box_id). */
+  def multiBoxQuery(points: DataFrame, lonCol: String, latCol: String,
+                    boxes: Seq[(Int, BBox)], bits: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val cells = boxes.flatMap { case (id, b) =>
+      Geohash.covering(b.minLon, b.minLat, b.maxLon, b.maxLat, bits)
+        .map(c => (id, c, b.minLon, b.minLat, b.maxLon, b.maxLat))
+    }.toDF("box_id", "__cell", "__minLon", "__minLat", "__maxLon", "__maxLat")
+    val tiled = withTile(points, lonCol, latCol, bits, "__cell")
+    val lon = col(lonCol); val lat = col(latCol)
+    val lonPred = (col("__minLon") <= col("__maxLon") && lon >= col("__minLon") && lon <= col("__maxLon")) ||
+                  (col("__minLon") > col("__maxLon") && (lon >= col("__minLon") || lon <= col("__maxLon")))
+    tiled.join(broadcast(cells), "__cell")
+      .where(lonPred && lat >= col("__minLat") && lat <= col("__maxLat"))
+      .drop("__cell", "__minLon", "__minLat", "__maxLon", "__maxLat")
+  }
+
   /** Points whose cell lies in the 3×3 block around (qLon, qLat) — the
     * reference's neighbor expansion (#3/#9) as a join predicate. */
   def neighborBlockQuery(points: DataFrame, lonCol: String, latCol: String,

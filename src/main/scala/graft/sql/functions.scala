@@ -80,8 +80,10 @@ object GraftFunctions {
 /** `SparkSessionExtensions` hook, usable via
   * `spark.sql.extensions=graft.sql.GraftExtensions` on spark-submit. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => DerivePipBBox)
+  }
 }
 
 /** Column-API mirror of the registered functions (Spark-idiomatic import:
@@ -137,6 +139,7 @@ object GraftSpark {
     val spark = SparkSession.builder()
       .master(master)
       .appName(appName)
+      .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", sp.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")

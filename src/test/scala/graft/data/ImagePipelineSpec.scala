@@ -105,4 +105,28 @@ class ImagePipelineSpec extends AnyFunSuite {
     // lineage emission
     assert(IcebergLite.lineageJson(tbl).size == m.entries.size)
   }
+
+  test("iceberg-lite: update replaces partitions, extend appends to them") {
+    val dir = Files.createTempDirectory("iceberg_upd").toString
+    val tbl = s"$dir/t"
+    import spark.implicits._
+    def rows(ids: Seq[Long], part: Int, payload: String) =
+      ids.map(i => (s"r$i", payload, part)).toDF("id", "payload", "p")
+    IcebergLite.write(rows(0L to 9L, 0, "v1").unionAll(rows(10L to 19L, 1, "v1")), tbl, "p")
+    assert(IcebergLite.read(spark, tbl).count() == 20)
+
+    // update: replace partition 0 wholesale (reference GeoHash.update)
+    val m1 = IcebergLite.update(rows(100L to 102L, 0, "v2"), tbl, "p")
+    val afterUpdate = IcebergLite.read(spark, tbl)
+    assert(afterUpdate.where($"p" === 0).count() == 3)
+    assert(afterUpdate.where($"p" === 1).count() == 10, "untouched partition intact")
+    assert(afterUpdate.where($"p" === 0 && $"payload" === "v1").count() == 0)
+
+    // extend: append rows to partition 1 (reference GeoHash.extend)
+    val m2 = IcebergLite.extend(rows(200L to 204L, 1, "v3"), tbl, "p")
+    val afterExtend = IcebergLite.read(spark, tbl)
+    assert(afterExtend.where($"p" === 1).count() == 15, "10 original + 5 appended")
+    assert(afterExtend.where($"p" === 0).count() == 3, "update result intact")
+    assert(m2.snapshotId > m1.snapshotId && m1.parentSnapshotId >= 0, "snapshot lineage chains")
+  }
 }

@@ -1,0 +1,98 @@
+package graft.engine
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.core.BBox
+import graft.sql.{GraftSpark, functions => gf}
+
+/** Plan-shape assertions: the properties that decide whether the engine
+  * still works at 100 TB — column pruning to the parquet scan, predicate
+  * pushdown, partition pruning on the tile-prefix layout, single-scan
+  * multi-box joins, broadcast (not shuffle) for covering joins. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = GraftSpark.session("local[4]", appName = "plan-spec")
+  import spark.implicits._
+
+  val sf = "/root/testdata/sf0.001"
+
+  test("column pruning: tile assignment reads only the key column") {
+    val df = SpatialOps.withTile(
+      SpatialOps.withDerivedPosition(
+        spark.read.parquet(s"$sf/customer.parquet").select("c_custkey"), "c_custkey"),
+      "lon", "lat", 30)
+    val scan = df.queryExecution.executedPlan.toString
+    assert(scan.contains("ReadSchema: struct<c_custkey:bigint>"), scan)
+    assert(!scan.contains("c_acctbal") && !scan.contains("c_name"), "reads pruned columns")
+  }
+
+  test("predicate pushdown: date filter reaches the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .where($"l_shipdate" < expr("TIMESTAMP '1996-01-01 00:00:00'"))
+      .select("l_orderkey")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate"), plan)
+  }
+
+  test("partition pruning: tile-prefix filter prunes the iceberg-lite layout") {
+    val dir = java.nio.file.Files.createTempDirectory("prune").toString
+    val tiled = graft.data.Images.withTile(graft.data.Images.generate(spark, 300).toDF(), 30)
+      .withColumn("tile_p1", gf.gh_parent($"tile", 30, 5))
+      .select("image_id", "caption", "tile", "tile_p1")
+    graft.data.IcebergLite.write(tiled, s"$dir/t", "tile_p1")
+    val one = spark.read.parquet(s"$dir/t/data").where($"tile_p1" === 9)
+    val exec = one.queryExecution.executedPlan
+    val scanStr = exec.toString
+    // partition filter present and scan reports pruned partition count
+    assert(scanStr.contains("PartitionFilters: [isnotnull(tile_p1"), scanStr)
+    val scans = exec.collectLeaves().map(_.toString).filter(_.contains("Scan parquet"))
+    assert(scans.nonEmpty)
+  }
+
+  test("multi-box query: ONE scan answers all boxes, broadcast join, no SMJ") {
+    val pts = SpatialOps.withDerivedPosition(
+      spark.read.parquet(s"$sf/customer.parquet").select("c_custkey"), "c_custkey")
+    val boxes = Seq(0 -> BBox(-0.75, 51.0, 0.25, 52.0), 1 -> BBox(139.25, 35.25, 140.25, 36.25))
+    val df = SpatialOps.multiBoxQuery(pts, "lon", "lat", boxes, 20)
+    val plan = df.queryExecution.executedPlan
+    val planStr = plan.toString
+    assert(planStr.contains("BroadcastHashJoin"), planStr)
+    assert(!planStr.contains("SortMergeJoin"), planStr)
+    val parquetScans = plan.collectLeaves().map(_.toString).count(_.contains("customer.parquet"))
+    assert(parquetScans == 1, s"expected 1 scan of the big side, got $parquetScans\n$planStr")
+  }
+
+  test("DerivePipBBox: literal-polygon PIP filter derives pushable lon/lat bounds") {
+    val dir = java.nio.file.Files.createTempDirectory("pip_push").toString
+    // a table with STORED lon/lat columns (so range predicates can push)
+    SpatialOps.withDerivedPosition(
+      spark.read.parquet(s"$sf/customer.parquet").select("c_custkey"), "c_custkey")
+      .write.parquet(s"$dir/pts")
+    val wkt = "POLYGON ((-2.5 41.0, 3.0 41.5, 2.0 48.0, -4.5 47.5, -2.5 41.0))"
+    val q = spark.read.parquet(s"$dir/pts")
+      .where(gf.st_contains_wkt(lit(wkt), $"lon", $"lat"))
+    val planStr = q.queryExecution.executedPlan.toString
+    // derived bounds reach PushedFilters (display truncates the list, so
+    // check the leading entries there and the rest in the Filter condition)
+    assert(planStr.contains("GreaterThanOrEqual(lon,-4.5") &&
+      planStr.contains("<= 48.0") && planStr.contains(">= 41.0"), planStr)
+    // and the rewrite must not change results
+    val expected = SpatialOps.withDerivedPosition(
+      spark.read.parquet(s"$sf/customer.parquet").select("c_custkey"), "c_custkey")
+      .collect().count { r =>
+        graft.core.GeoMath.pointInPolygon(r.getDouble(1), r.getDouble(2),
+          graft.core.GeoMath.parseWktPolygon(wkt))
+      }
+    assert(q.count() == expected)
+  }
+
+  test("per-tile agg is a partial+final hash aggregate (map-side combine)") {
+    val pts = SpatialOps.withDerivedPosition(
+      spark.read.parquet(s"$sf/customer.parquet").select("c_custkey"), "c_custkey")
+    val agg = SpatialOps.withTile(pts, "lon", "lat", 12).groupBy("tile").count()
+    val planStr = agg.queryExecution.executedPlan.toString
+    // two HashAggregate nodes (partial + final) around one shuffle
+    assert("HashAggregate".r.findAllIn(planStr).size >= 2, planStr)
+    assert(planStr.contains("Exchange hashpartitioning(tile"), planStr)
+  }
+}
