@@ -148,14 +148,15 @@ object OracleSql {
                      k: Int, bands: Int, threshold: Double): String = {
     val rows = k / bands
     val mins = (0 until k).map(i =>
-      s"min(${hash60DuckSql(s"'$i|' || sh")}) AS s$i").mkString(", ")
+      s"min(${graft.engine.TextOps.affineHashSql("_h", i)}) AS s$i").mkString(", ")
     val bandExprs = (0 until bands).map { b =>
       (0 until rows).map(r => s"CAST(s${b * rows + r} AS VARCHAR)")
         .mkString("(", " || '_' || ", s") AS b$b")
     }.mkString(", ")
     val bandOr = (0 until bands).map(b => s"a.b$b = b.b$b").mkString(" OR ")
     s"""${shingleCtes(table, idCol, textCol)},
-       | _sig AS (SELECT $idCol, $mins FROM _sh GROUP BY $idCol),
+       | _shh AS (SELECT $idCol, sh, ${hash60DuckSql("sh")} AS _h FROM _sh),
+       | _sig AS (SELECT $idCol, $mins FROM _shh GROUP BY $idCol),
        | _b AS (SELECT $idCol, $bandExprs FROM _sig),
        | _cand AS (SELECT DISTINCT a.$idCol AS doc_a, b.$idCol AS doc_b
        |           FROM _b a JOIN _b b ON a.$idCol < b.$idCol AND ($bandOr)),

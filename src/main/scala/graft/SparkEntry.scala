@@ -124,6 +124,20 @@ object SparkEntry {
         .where(gf.st_contains_wkt(lit(franceWkt), col("lon"), col("lat")))
         .select("c_custkey", "lon", "lat")
     },
+    "q18_pip_indexed" -> gq { (s, dir) =>
+      // index-accelerated PIP: covering cells of the polygon bbox prefilter
+      // candidates (broadcast equi-join), exact ray-cast refines — same
+      // semantics as q08, different physical path
+      val rings = graft.core.GeoMath.parseWktPolygon(franceWkt)
+      val outer = rings.head
+      val lons = outer.indices.collect { case i if i % 2 == 0 => outer(i) }
+      val lats = outer.indices.collect { case i if i % 2 == 1 => outer(i) }
+      val pts = SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey")
+      SpatialOps.boxQuery(pts, "lon", "lat",
+          BBox(lons.min, lats.min, lons.max, lats.max), 15, refine = false)
+        .where(gf.st_contains_wkt(lit(franceWkt), col("lon"), col("lat")))
+        .select("c_custkey", "lon", "lat")
+    },
     "q09_neighbor_block" -> gq { (s, dir) =>
       SpatialOps.neighborBlockQuery(
         SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey"),
@@ -224,6 +238,11 @@ object SparkEntry {
     "q50_stream_window" -> gq { (s, dir) =>
       graft.engine.StreamOps.streamedWindowAgg(s, s"$dir/events.parquet")
     },
+    "q51_stream_sessions" -> gq { (s, dir) =>
+      // stateful streaming sessionization (6h gap); emits CLOSED sessions
+      graft.engine.StreamOps.sessionize(s, s"$dir/events.parquet", 6L * 3600 * 1000000)
+        .toDF().select("user_id", "session_start", "session_end", "n")
+    },
     // --- relational baseline (engine competence; DECIMAL sums for parity) ---
     "q12_pricing_agg" -> gq { (s, dir) =>
       ld(s, dir, "lineitem")
@@ -316,6 +335,9 @@ object SparkEntry {
       "q08_pip" ->
         s"""$custIdx SELECT c_custkey, _lon AS lon, _lat AS lat FROM _idx
            | WHERE ${pipSql("_lon", "_lat", franceQuad)}""".stripMargin.replace("\n", " "),
+      "q18_pip_indexed" -> // same semantics as q08 (different physical path)
+        s"""$custIdx SELECT c_custkey, _lon AS lon, _lat AS lat FROM _idx
+           | WHERE ${pipSql("_lon", "_lat", franceQuad)}""".stripMargin.replace("\n", " "),
       "q09_neighbor_block" -> {
         val bits = 20
         val qx = Geohash.lonIdx30(blockCenter._1) >>> (30 - Geohash.lonBitsOf(bits))
@@ -379,6 +401,16 @@ object SparkEntry {
         """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
           | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
           | FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+      "q51_stream_sessions" ->
+        """WITH g AS (SELECT user_id, ts,
+          |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+          |          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL '6 hours'
+          |        THEN 1 ELSE 0 END AS brk FROM events),
+          | s AS (SELECT user_id, ts, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid FROM g),
+          | agg AS (SELECT user_id, sid, min(ts) AS session_start, max(ts) AS session_end, count(*) AS n FROM s GROUP BY 1, 2),
+          | lastsid AS (SELECT user_id, max(sid) AS maxsid FROM agg GROUP BY 1)
+          | SELECT a.user_id, session_start, session_end, n
+          | FROM agg a JOIN lastsid l ON a.user_id = l.user_id AND a.sid < l.maxsid""".stripMargin.replace("\n", " "),
       "q12_pricing_agg" ->
         """SELECT l_returnflag, l_linestatus,
           | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,

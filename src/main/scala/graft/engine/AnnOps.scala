@@ -37,11 +37,13 @@ object AnnOps {
     */
   def annBrute(emb: DataFrame, idCol: String, embCol: String,
                dim: Int, nQueries: Int, k: Int): DataFrame = {
+    // hoist the row norm out of the per-query branches: one sqrt per row
+    val withNorm = emb.withColumn("_n", sqrt(norm2(embCol, dim)))
     val perQuery = (0 until nQueries).map { q =>
       val qv = queryVec(q, dim)
       val qn = math.sqrt(qv.map(x => x * x).sum)
-      val cos = (dotConst(embCol, qv) / (sqrt(norm2(embCol, dim)) * lit(qn))).as("cosine")
-      emb.select(lit(q).as("qid"), col(idCol).as("vec_id"), cos)
+      val cos = (dotConst(embCol, qv) / (col("_n") * lit(qn))).as("cosine")
+      withNorm.select(lit(q).as("qid"), col(idCol).as("vec_id"), cos)
     }
     val all = perQuery.reduce(_ unionAll _)
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id").asc)
@@ -64,6 +66,7 @@ object AnnOps {
   def annLsh(emb: DataFrame, idCol: String, embCol: String,
              dim: Int, nQueries: Int, k: Int, nPlanes: Int = 8): DataFrame = {
     val bucketed = emb.withColumn("_bucket", srpBucket(embCol, dim, nPlanes))
+      .withColumn("_n", sqrt(norm2(embCol, dim)))
     val perQuery = (0 until nQueries).map { q =>
       val qv = queryVec(q, dim)
       val qn = math.sqrt(qv.map(x => x * x).sum)
@@ -73,7 +76,7 @@ object AnnOps {
           val d = qv.indices.map(j => qv(j) * plane(j)).sum
           if (d >= 0) 1L << p else 0L
         }.sum
-      val cos = (dotConst(embCol, qv) / (sqrt(norm2(embCol, dim)) * lit(qn))).as("cosine")
+      val cos = (dotConst(embCol, qv) / (col("_n") * lit(qn))).as("cosine")
       bucketed.where(col("_bucket") === qBucket)
         .select(lit(q).as("qid"), col(idCol).as("vec_id"), cos)
     }
@@ -89,12 +92,15 @@ object AnnOps {
     * Output (vec_a, vec_b, cosine ≥ threshold). */
   def blockedNearDup(emb: DataFrame, idCol: String, embCol: String, labelCol: String,
                      dim: Int, threshold: Double): DataFrame = {
+    // norms computed once per ROW (not per pair): sqrt hoisted above the join
     val a = emb.select(col(labelCol).as("_l"), col(idCol).as("vec_a"), col(embCol).as("_ea"))
+      .withColumn("_na", sqrt(norm2("_ea", dim)))
     val b = emb.select(col(labelCol).as("_l"), col(idCol).as("vec_b"), col(embCol).as("_eb"))
+      .withColumn("_nb", sqrt(norm2("_eb", dim)))
     val dot = (0 until dim).map(j =>
       element_at(col("_ea"), j + 1).cast("double") * element_at(col("_eb"), j + 1).cast("double"))
       .reduce(_ + _)
-    val cos = dot / (sqrt(norm2("_ea", dim)) * sqrt(norm2("_eb", dim)))
+    val cos = dot / (col("_na") * col("_nb"))
     a.join(b, Seq("_l")).where(col("vec_a") < col("vec_b"))
       .withColumn("cosine", cos)
       .where(col("cosine") >= threshold)

@@ -1,7 +1,8 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming operators. The reference is a batch library
   * (SURVEY.md §3.3: streaming absent); this is the engine extension that
@@ -33,5 +34,63 @@ object StreamOps {
     try q.processAllAvailable() finally q.stop()
     spark.table(name)
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_val"))
+  }
+
+  // TIMESTAMP_NTZ columns (parquet timestamps without tz) map to
+  // LocalDateTime in typed Datasets — keeping NTZ end-to-end matches the
+  // naive timestamps the DuckDB oracle produces.
+  final case class Ev(user_id: Long, ts: java.time.LocalDateTime)
+  final case class OpenSession(startUs: Long, lastUs: Long, n: Long)
+  final case class Session(user_id: Long, session_start: java.time.LocalDateTime,
+                           session_end: java.time.LocalDateTime, n: Long)
+
+  private def us(t: java.time.LocalDateTime): Long = {
+    val i = t.toInstant(java.time.ZoneOffset.UTC)
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+  private def tsOf(u: Long): java.time.LocalDateTime =
+    java.time.LocalDateTime.ofEpochSecond(u / 1000000L, (u % 1000000L).toInt * 1000,
+      java.time.ZoneOffset.UTC)
+
+  /** Stateful sessionization via flatMapGroupsWithState: per-user event
+    * sessions split on gaps > `gapUs`; CLOSED sessions are emitted, the
+    * open tail lives in the state store across micro-batches. Events must
+    * arrive in ts-nondecreasing batches per user (file order in tests). */
+  def sessionize(spark: SparkSession, parquetPath: String,
+                 gapUs: Long, maxFilesPerTrigger: Int = 0): Dataset[Session] = {
+    import spark.implicits._
+    val schema = spark.read.parquet(parquetPath).schema
+    val f = new java.io.File(parquetPath)
+    val (dir, glob) = if (f.isDirectory) (parquetPath, "*") else (f.getParent, f.getName)
+    var reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if (maxFilesPerTrigger > 0) reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val events = reader.parquet(dir).select($"user_id", $"ts").as[Ev]
+
+    val sessions = events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (user: Long, evs: Iterator[Ev], state: GroupState[OpenSession]) => {
+          val sorted = evs.map(e => us(e.ts)).toArray.sorted
+          val out = scala.collection.mutable.ArrayBuffer.empty[Session]
+          var open = state.getOption
+          sorted.foreach { t =>
+            open match {
+              case Some(s) if t - s.lastUs > gapUs =>
+                out += Session(user, tsOf(s.startUs), tsOf(s.lastUs), s.n)
+                open = Some(OpenSession(t, t, 1))
+              case Some(s) =>
+                open = Some(s.copy(lastUs = t, n = s.n + 1))
+              case None =>
+                open = Some(OpenSession(t, t, 1))
+            }
+          }
+          open.foreach(state.update)
+          out.iterator
+        })
+
+    val name = s"q51_out_${System.nanoTime()}"
+    val q = sessions.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).as[Session]
   }
 }

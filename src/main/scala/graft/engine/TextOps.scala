@@ -37,12 +37,20 @@ object TextOps {
       .select(col(idCol), explode(array_distinct(shingles3(col("_w")))).as("sh"))
   }
 
-  /** MinHash signature columns s0..s{k-1}: per seed i, min over shingles of
-    * hash60(i || '|' || shingle). */
+  /** Affine hash family over ONE base md5 hash: h_i = (h & 2^45-1) * a_i + i
+    * (odd multipliers; stays < 2^62 so no BIGINT overflow in either engine).
+    * One md5 per shingle instead of k — md5 dominates signature cost. */
+  def affineHash(h: Column, i: Int): Column =
+    (h.bitwiseAND(lit(0x1FFFFFFFFFFFL)) * lit(2L * i + 1)) + lit(i.toLong)
+  def affineHashSql(h: String, i: Int): String =
+    s"(($h & ${0x1FFFFFFFFFFFL}) * ${2L * i + 1} + $i)"
+
+  /** MinHash signature columns s0..s{k-1}: per member i of the affine hash
+    * family, min over the doc's shingles. */
   def minhashSignatures(shingleDf: DataFrame, idCol: String): DataFrame = {
-    val aggs = (0 until MinhashK).map(i =>
-      min(hash60(concat(lit(s"$i|"), col("sh")))).as(s"s$i"))
-    shingleDf.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val base = shingleDf.withColumn("_h", hash60(col("sh")))
+    val aggs = (0 until MinhashK).map(i => min(affineHash(col("_h"), i)).as(s"s$i"))
+    base.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** MinHash + LSH near-duplicate pairs with exact-jaccard verification.

@@ -57,6 +57,27 @@ class EngineOpsSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("stateful sessionize: state carries across micro-batches (2 files == 1 file)") {
+    val gapUs = 6L * 3600 * 1000000
+    val events = spark.read.parquet(s"$sf/events.parquet").select($"user_id", $"ts")
+    // split into two ts-ordered files so sessions straddle the batch boundary
+    val dir = java.nio.file.Files.createTempDirectory("sess").toString
+    val median = events.selectExpr(
+      "percentile_approx(unix_micros(CAST(ts AS TIMESTAMP)), 0.5, 10000)").collect()(0).getLong(0)
+    events.where(expr(s"unix_micros(CAST(ts AS TIMESTAMP)) < ${median}L")).coalesce(1)
+      .write.parquet(s"$dir/in")
+    Thread.sleep(1100) // distinct mod times => deterministic file order
+    events.where(expr(s"unix_micros(CAST(ts AS TIMESTAMP)) >= ${median}L")).coalesce(1)
+      .write.mode("append").parquet(s"$dir/in")
+    val twoBatch = graft.engine.StreamOps.sessionize(spark, s"$dir/in", gapUs, maxFilesPerTrigger = 1)
+      .toDF().select("user_id", "session_start", "session_end", "n")
+    val oneBatch = graft.engine.StreamOps.sessionize(spark, s"$sf/events.parquet", gapUs)
+      .toDF().select("user_id", "session_start", "session_end", "n")
+    assert(twoBatch.count() > 0)
+    assert(twoBatch.exceptAll(oneBatch).isEmpty && oneBatch.exceptAll(twoBatch).isEmpty,
+      "state did not carry across batches")
+  }
+
   test("explain: box query pushes tile equi-join to broadcast hash join, no shuffle of big side") {
     val box = BBox(-0.75, 51.0, 0.25, 52.0)
     val plan = SpatialOps.boxQuery(customers, "lon", "lat", box, 20)
