@@ -127,6 +127,32 @@ object OracleSql {
     s"$ctes SELECT $key, quad FROM _c${steps.size}"
   }
 
+  // ---- hex grid (HexGrid.cell as pure-arithmetic SQL steps) ----
+
+  /** Ordered steps computing the packed hex id — same floor(x+0.5) rounding
+    * and expression structure as graft.core.HexGrid.axial/pack. */
+  def hexSteps(lon: String, lat: String, size: Double): Seq[(String, String)] = Seq(
+    "_hx" -> s"(sqrt(3.0) / 3.0 * ($lon) - 1.0 / 3.0 * ($lat)) / $size",
+    "_hz" -> s"(2.0 / 3.0 * ($lat)) / $size",
+    "_hy" -> "(0.0 - _hx) - _hz",
+    "_rx" -> "floor(_hx + 0.5)", "_ry" -> "floor(_hy + 0.5)", "_rz" -> "floor(_hz + 0.5)",
+    "_dx" -> "abs(_rx - _hx)", "_dy" -> "abs(_ry - _hy)", "_dz" -> "abs(_rz - _hz)",
+    "_fq" -> "CASE WHEN _dx > _dy AND _dx > _dz THEN (0.0 - _ry) - _rz ELSE _rx END",
+    "_fr" -> ("CASE WHEN (NOT (_dx > _dy AND _dx > _dz)) AND (NOT (_dy > _dz)) " +
+              "THEN (0.0 - _rx) - _ry ELSE _rz END"),
+    "hex" -> s"((CAST(_fq AS BIGINT) + ${1L << 20}) << 21) | (CAST(_fr AS BIGINT) + ${1L << 20})")
+
+  /** DuckDB CTE chain for the hex id over a key-derived-position table. */
+  def hexDuck(table: String, key: String, size: Double): String = {
+    val base = s"SELECT $key, ${lonSql(key)} AS _lon, ${latSql(key)} AS _lat FROM $table"
+    val steps = hexSteps("_lon", "_lat", size)
+    val ctes = steps.zipWithIndex.foldLeft(s"WITH _c0 AS ($base)") {
+      case (acc, ((col, expr), i)) =>
+        s"$acc, _c${i + 1} AS (SELECT *, $expr AS $col FROM _c$i)"
+    }
+    s"$ctes SELECT $key, hex FROM _c${steps.size}"
+  }
+
   // ---- text-ops oracle fragments (DuckDB dialect, mirroring TextOps) ----
 
   /** Whitespace tokens, empties dropped — TextOps.tokens. */

@@ -198,6 +198,12 @@ object SparkEntry {
         .withColumn("s2_token", gf.s2_token(col("s2"), 12))
         .select("c_custkey", "s2", "s2_parent", "s2_token")
     },
+    "q19_hex_cells" -> gq { (s, dir) =>
+      // hexagonal cell assignment (planar axial lattice) + per-hex counts
+      SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey")
+        .withColumn("hex", gf.hex_cell(col("lon"), col("lat"), 0.5))
+        .select("c_custkey", "hex")
+    },
     // --- training-data pipeline ops: dedup family / text analysis / ANN ---
     "q30_dedup_exact" -> gq { (s, dir) =>
       ld(s, dir, "documents")
@@ -360,6 +366,7 @@ object SparkEntry {
       "q11_cell_histogram" ->
         s"""$custIdx SELECT ${tileSql("_gx", "_gy", 10)} AS tile, count(*) AS n FROM _idx GROUP BY 1""",
       "q14_quadkey" -> quadkeyDuck("customer", "c_custkey", 12),
+      "q19_hex_cells" -> hexDuck("customer", "c_custkey", 0.5),
       "q30_dedup_exact" ->
         "SELECT min(doc_id) AS doc_id, md5(text) AS fp, count(*) AS n FROM documents GROUP BY md5(text)",
       "q31_fingerprint" ->

@@ -335,6 +335,62 @@ case class S2Token(left: Expression, right: Expression) extends BinaryExpression
     copy(left = l, right = r)
 }
 
+/** hex_cell(lon, lat, size) → LONG — packed axial hex id (planar pointy-top
+  * lattice, graft.core.HexGrid; hexagonal capability per north_star,
+  * honestly scoped — not H3-compatible). */
+case class HexCell(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "hex_cell"
+  override def nullSafeEval(lon: Any, lat: Any, size: Any): Any = {
+    val lo = lon.asInstanceOf[Double]; val la = lat.asInstanceOf[Double]
+    if (lo.isNaN || la.isNaN) null
+    else graft.core.HexGrid.cell(lo, la, size.asInstanceOf[Double])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lon, lat, size) => s"""
+      if (${ghExpr.nanGuard2.format(lon, lat)}) { ${ev.isNull} = true; }
+      else { ${ev.value} = graft.core.HexGrid.cell($lon, $lat, $size); }""")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** hex_center(id, size) → STRUCT<lon, lat>. */
+case class HexCenter(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    StructType(Seq(StructField("lon", DoubleType, false), StructField("lat", DoubleType, false)))
+  override def prettyName: String = "hex_center"
+  override def nullSafeEval(id: Any, size: Any): Any = {
+    val (lon, lat) = graft.core.HexGrid.center(id.asInstanceOf[Long], size.asInstanceOf[Double])
+    InternalRow(lon, lat)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** hex_neighbors(id) → ARRAY<LONG> — the 6 adjacent hexes. */
+case class HexNeighbors(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hex_neighbors"
+  override def nullSafeEval(id: Any): Any =
+    new GenericArrayData(graft.core.HexGrid.neighbors(id.asInstanceOf[Long]))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** hex_ring(id, k) → ARRAY<LONG> — the 6k cells at hex distance exactly k. */
+case class HexRing(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "hex_ring"
+  override def nullSafeEval(id: Any, k: Any): Any =
+    new GenericArrayData(graft.core.HexGrid.ring(id.asInstanceOf[Long], k.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** gh_covering(min_lon, min_lat, max_lon, max_lat, bits) → ARRAY<LONG> —
   * scalar form of the reference's bounding_boxes covering (#8); used to
   * build the broadcast side of box joins. Capped at 2^20 cells. */

@@ -63,6 +63,14 @@ object GraftFunctions {
       (e: Seq[Expression]) => { require(e.length == 2, "s2_neighbors(id, level)"); S2Neighbors(cL(e(0)), cI(e(1))) }),
     ("s2_token", "s2_token(id, level) - display token",
       (e: Seq[Expression]) => { require(e.length == 2, "s2_token(id, level)"); S2Token(cL(e(0)), cI(e(1))) }),
+    ("hex_cell", "hex_cell(lon, lat, size) - packed axial hex id (planar lattice)",
+      (e: Seq[Expression]) => { require(e.length == 3, "hex_cell(lon, lat, size)"); HexCell(cD(e(0)), cD(e(1)), cD(e(2))) }),
+    ("hex_center", "hex_center(id, size) - hex center struct(lon, lat)",
+      (e: Seq[Expression]) => { require(e.length == 2, "hex_center(id, size)"); HexCenter(cL(e(0)), cD(e(1))) }),
+    ("hex_neighbors", "hex_neighbors(id) - the 6 adjacent hexes",
+      (e: Seq[Expression]) => { require(e.length == 1, "hex_neighbors(id)"); HexNeighbors(cL(e(0))) }),
+    ("hex_ring", "hex_ring(id, k) - the 6k hexes at distance exactly k",
+      (e: Seq[Expression]) => { require(e.length == 2, "hex_ring(id, k)"); HexRing(cL(e(0)), cI(e(1))) }),
     ("gh_covering", "gh_covering(min_lon, min_lat, max_lon, max_lat, bits) - array of covering cells",
       (e: Seq[Expression]) => GhCoveringArray(e.take(4).map(cD) :+ cI(e(4)))),
     ("gh_covering_cells", "gh_covering_cells(min_lon, min_lat, max_lon, max_lat, bits) - generator: one row per covering cell",
@@ -118,6 +126,11 @@ object functions {
   def s2_center(id: Column, level: Int): Column = call_function("s2_center", id, lit(level))
   def s2_neighbors(id: Column, level: Int): Column = call_function("s2_neighbors", id, lit(level))
   def s2_token(id: Column, level: Int): Column = call_function("s2_token", id, lit(level))
+  def hex_cell(lon: Column, lat: Column, size: Double): Column =
+    call_function("hex_cell", lon, lat, lit(size))
+  def hex_center(id: Column, size: Double): Column = call_function("hex_center", id, lit(size))
+  def hex_neighbors(id: Column): Column = call_function("hex_neighbors", id)
+  def hex_ring(id: Column, k: Int): Column = call_function("hex_ring", id, lit(k))
   def gh_covering(minLon: Column, minLat: Column, maxLon: Column, maxLat: Column, bits: Int): Column =
     call_function("gh_covering", minLon, minLat, maxLon, maxLat, lit(bits))
   def gh_covering_cells(minLon: Column, minLat: Column, maxLon: Column, maxLat: Column, bits: Int): Column =
