@@ -240,6 +240,21 @@ object SparkEntry {
     "q40_ann_lsh" -> gq { (s, dir) => // approximate (no oracle): SRP buckets + exact rerank
       graft.engine.AnnOps.annLsh(ld(s, dir, "embeddings"), "vec_id", "embedding", 64, 3, 10)
     },
+    "q22_tile_metrics" -> gq { (s, dir) =>
+      // per-tile metrics emission (north_rule): counts, extent, cell area,
+      // format mix per tile of the image table (rows-only check)
+      import graft.data.Images
+      Images.withTile(Images.generate(s, imageScale(dir)).toDF(), 20)
+        .groupBy(col("tile"))
+        .agg(count(lit(1)).as("n_images"),
+             min("lat").as("min_lat"), max("lat").as("max_lat"),
+             min("lon").as("min_lon"), max("lon").as("max_lon"),
+             countDistinct("fmt").as("n_fmts"),
+             sum(length(col("caption"))).as("caption_bytes"))
+        .withColumn("cell_area_m2", gf.gh_area(col("tile"), 20))
+        .select("tile", "n_images", "min_lat", "max_lat", "min_lon", "max_lon",
+                "n_fmts", "caption_bytes", "cell_area_m2")
+    },
     // --- streaming (Structured Streaming; result == batch GROUP BY) ---
     "q50_stream_window" -> gq { (s, dir) =>
       graft.engine.StreamOps.streamedWindowAgg(s, s"$dir/events.parquet")

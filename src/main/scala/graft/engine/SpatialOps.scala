@@ -177,6 +177,70 @@ object SpatialOps {
     } finally tiled.unpersist()
   }
 
+  /** kNN against a PRE-TILED Iceberg-lite table: ring expansion where each
+    * ring reads only the partitions holding candidate cells (partition
+    * pruning on the tile-prefix column) — at 10¹² rows each expansion step
+    * touches a handful of partitions instead of scanning the table. The
+    * table must contain `lon`, `lat`, a tile column at `bits`, and the
+    * prefix partition column at `prefixBits`. Exact (same guarantee as
+    * [[knnRing]]: expand until the k-th distance disc is covered). */
+  def knnIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                 prefixCol: String, prefixBits: Int,
+                 lonCol: String, latCol: String,
+                 qLon: Double, qLat: Double, k: Int, tieCol: String): DataFrame = {
+    import spark.implicits._
+    val bits = prefixBits
+    val center = Geohash.encode(qLon, qLat, bits)
+    val cw = Geohash.cellWidth(bits); val ch = Geohash.cellHeight(bits)
+    val cellMin = math.min(cw, ch)
+    val cx = Geohash.cellX(center, bits); val cy = Geohash.cellY(center, bits)
+    val nx = 1L << Geohash.lonBitsOf(bits); val ny = 1L << Geohash.latBitsOf(bits)
+
+    def ringCells(r: Long): Seq[Long] = {
+      if (r == 0) return Seq(center)
+      val cells = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var dx = -r
+      while (dx <= r) {
+        var dy = -r
+        while (dy <= r) {
+          if (math.abs(dx) == r || math.abs(dy) == r) {
+            val yy = cy + dy
+            if (yy >= 0 && yy < ny) cells += Geohash.fromCellXY((cx + dx + nx * 4) % nx, yy, bits)
+          }
+          dy += 1
+        }
+        dx += 1
+      }
+      cells.toSeq
+    }
+
+    // pruned scan: only the partitions of the given cells are read
+    def scanCells(cells: Seq[Long]): DataFrame =
+      graft.data.IcebergLite.read(spark, table)
+        .where(col(prefixCol).isin(cells: _*))
+
+    val dist = (col(lonCol) - qLon) * (col(lonCol) - qLon) +
+               (col(latCol) - qLat) * (col(latCol) - qLat)
+    var r = 0L
+    var accCells = Seq.empty[Long]
+    var found = 0L
+    while (found < k && r < math.max(nx, ny)) {
+      accCells = accCells ++ ringCells(r)
+      found = scanCells(accCells).count()
+      r += 1
+    }
+    val kth = scanCells(accCells).select(dist.as("d")).orderBy($"d".asc).limit(k)
+      .agg(max($"d")).collect()(0).getDouble(0)
+    val needRings = math.ceil(math.sqrt(kth) / cellMin).toLong + 1
+    while (r <= needRings && r < math.max(nx, ny)) {
+      accCells = accCells ++ ringCells(r); r += 1
+    }
+    val w = Window.partitionBy(lit(1)).orderBy(dist.asc, col(tieCol).asc)
+    scanCells(accCells.distinct)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Large-large equi-join on tile keys with explicit deterministic salting
     * for hot cells (SURVEY.md §5): left rows get salt = hash(saltKey) % s,
     * right rows are replicated ×s. Results are row-identical to the unsalted

@@ -86,6 +86,27 @@ class PlanSpec extends AnyFunSuite {
     assert(q.count() == expected)
   }
 
+  test("knnIndexed: prunes to candidate-cell partitions, matches brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("knn_idx").toString
+    val pts = SpatialOps.withDerivedPosition(
+      spark.read.parquet("/root/testdata/sf0.01/customer.parquet").select("c_custkey"), "c_custkey")
+    val tiled = SpatialOps.withTile(pts, "lon", "lat", 30)
+      .withColumn("tile_p", graft.sql.functions.gh_parent($"tile", 30, 8))
+    graft.data.IcebergLite.write(tiled, s"$dir/t", "tile_p")
+    val (qx, qy) = (-0.75, 51.25)
+    val got = SpatialOps.knnIndexed(spark, s"$dir/t", "tile_p", 8, "lon", "lat", qx, qy, 10, "c_custkey")
+    // exactness vs brute force
+    val brute = SpatialOps.knnBrute(pts, "lon", "lat", Seq((0, qx, qy)), 10, "c_custkey")
+      .select("rank", "c_custkey").collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+    val ring = got.select("rank", "c_custkey").collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+    assert(ring.toSeq == brute.toSeq)
+    // partition pruning visible in the FINAL (post-AQE) plan
+    val planStr = got.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters: [tile_p") ||
+           planStr.contains("PartitionFilters: [isnotnull(tile_p") ||
+           planStr.contains("PartitionFilters: [cast(tile_p"), planStr)
+  }
+
   test("per-tile agg is a partial+final hash aggregate (map-side combine)") {
     val pts = SpatialOps.withDerivedPosition(
       spark.read.parquet(s"$sf/customer.parquet").select("c_custkey"), "c_custkey")
