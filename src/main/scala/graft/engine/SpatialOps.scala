@@ -108,20 +108,18 @@ object SpatialOps {
       .drop("qlon", "qlat")
   }
 
-  /** kNN via geohash cell-ring expansion (BASELINE.json north_star): start
-    * at the query cell, expand rings until ≥k candidates found, then one
-    * safety margin ring, then exact top-k — avoids the cross join at scale.
-    * Exactness: after finding the k-th candidate at degree distance d, all
-    * rings overlapping the d-disc are already included iff
-    * rings * cellMinDim ≥ d; we expand until that holds. */
-  def knnRing(points: DataFrame, lonCol: String, latCol: String,
-              qid: Int, qLon: Double, qLat: Double, k: Int, bits: Int,
-              tieCol: String): DataFrame = {
-    val spark = points.sparkSession
+  /** Shared ring-expansion kNN core, parameterized by how candidate cells
+    * are scanned/counted. Expansion: grow rings until ≥k candidates exist,
+    * then include every ring intersecting the k-th-distance disc (rings ×
+    * cellMinDim ≥ d guarantees coverage), then exact top-k. */
+  private def knnExpand(spark: org.apache.spark.sql.SparkSession,
+                        lonCol: String, latCol: String,
+                        qLon: Double, qLat: Double, k: Int, bits: Int, tieCol: String,
+                        scanCells: Seq[Long] => DataFrame,
+                        countCells: Seq[Long] => Long): DataFrame = {
     import spark.implicits._
     val center = Geohash.encode(qLon, qLat, bits)
-    val cw = Geohash.cellWidth(bits); val ch = Geohash.cellHeight(bits)
-    val cellMin = math.min(cw, ch)
+    val cellMin = math.min(Geohash.cellWidth(bits), Geohash.cellHeight(bits))
     val cx = Geohash.cellX(center, bits); val cy = Geohash.cellY(center, bits)
     val nx = 1L << Geohash.lonBitsOf(bits); val ny = 1L << Geohash.latBitsOf(bits)
 
@@ -143,92 +141,16 @@ object SpatialOps {
       cells.toSeq
     }
 
-    val tiled = withTile(points, lonCol, latCol, bits, "__cell").cache()
-    try {
-      var r = 0L
-      var acc: DataFrame = null
-      var accCells = Seq.empty[Long]
-      var found = 0L
-      // expansion phase: grow until k candidates exist
-      while (found < k && r < math.max(nx, ny)) {
-        accCells = accCells ++ ringCells(r)
-        val cellsDf = accCells.toDF("__cell")
-        acc = tiled.join(broadcast(cellsDf), "__cell")
-        found = acc.count()
-        r += 1
-      }
-      // safety phase: the k-th distance can reach into rings beyond r-1;
-      // include every ring intersecting the k-th-distance disc.
-      val dist = (col(lonCol) - qLon) * (col(lonCol) - qLon) +
-                 (col(latCol) - qLat) * (col(latCol) - qLat)
-      val kth = acc.select(dist.as("d")).orderBy($"d".asc).limit(k)
-        .agg(max($"d")).collect()(0).getDouble(0)
-      val needRings = math.ceil(math.sqrt(kth) / cellMin).toLong + 1
-      while (r <= needRings && r < math.max(nx, ny)) {
-        accCells = accCells ++ ringCells(r); r += 1
-      }
-      val cellsDf = accCells.distinct.toDF("__cell")
-      val cand = tiled.join(broadcast(cellsDf), "__cell")
-      val w = Window.partitionBy(lit(1)).orderBy(dist.asc, col(tieCol).asc)
-      cand.withColumn("rank", row_number().over(w))
-        .where($"rank" <= k)
-        .withColumn("qid", lit(qid))
-        .drop("__cell")
-    } finally tiled.unpersist()
-  }
-
-  /** kNN against a PRE-TILED Iceberg-lite table: ring expansion where each
-    * ring reads only the partitions holding candidate cells (partition
-    * pruning on the tile-prefix column) — at 10¹² rows each expansion step
-    * touches a handful of partitions instead of scanning the table. The
-    * table must contain `lon`, `lat`, a tile column at `bits`, and the
-    * prefix partition column at `prefixBits`. Exact (same guarantee as
-    * [[knnRing]]: expand until the k-th distance disc is covered). */
-  def knnIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
-                 prefixCol: String, prefixBits: Int,
-                 lonCol: String, latCol: String,
-                 qLon: Double, qLat: Double, k: Int, tieCol: String): DataFrame = {
-    import spark.implicits._
-    val bits = prefixBits
-    val center = Geohash.encode(qLon, qLat, bits)
-    val cw = Geohash.cellWidth(bits); val ch = Geohash.cellHeight(bits)
-    val cellMin = math.min(cw, ch)
-    val cx = Geohash.cellX(center, bits); val cy = Geohash.cellY(center, bits)
-    val nx = 1L << Geohash.lonBitsOf(bits); val ny = 1L << Geohash.latBitsOf(bits)
-
-    def ringCells(r: Long): Seq[Long] = {
-      if (r == 0) return Seq(center)
-      val cells = scala.collection.mutable.ArrayBuffer.empty[Long]
-      var dx = -r
-      while (dx <= r) {
-        var dy = -r
-        while (dy <= r) {
-          if (math.abs(dx) == r || math.abs(dy) == r) {
-            val yy = cy + dy
-            if (yy >= 0 && yy < ny) cells += Geohash.fromCellXY((cx + dx + nx * 4) % nx, yy, bits)
-          }
-          dy += 1
-        }
-        dx += 1
-      }
-      cells.toSeq
-    }
-
-    // pruned scan: only the partitions of the given cells are read
-    def scanCells(cells: Seq[Long]): DataFrame =
-      graft.data.IcebergLite.read(spark, table)
-        .where(col(prefixCol).isin(cells: _*))
-
-    val dist = (col(lonCol) - qLon) * (col(lonCol) - qLon) +
-               (col(latCol) - qLat) * (col(latCol) - qLat)
     var r = 0L
     var accCells = Seq.empty[Long]
     var found = 0L
     while (found < k && r < math.max(nx, ny)) {
       accCells = accCells ++ ringCells(r)
-      found = scanCells(accCells).count()
+      found = countCells(accCells)
       r += 1
     }
+    val dist = (col(lonCol) - qLon) * (col(lonCol) - qLon) +
+               (col(latCol) - qLat) * (col(latCol) - qLat)
     val kth = scanCells(accCells).select(dist.as("d")).orderBy($"d".asc).limit(k)
       .agg(max($"d")).collect()(0).getDouble(0)
     val needRings = math.ceil(math.sqrt(kth) / cellMin).toLong + 1
@@ -238,7 +160,48 @@ object SpatialOps {
     val w = Window.partitionBy(lit(1)).orderBy(dist.asc, col(tieCol).asc)
     scanCells(accCells.distinct)
       .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
+      .where($"rank" <= k)
+  }
+
+  /** kNN via geohash cell-ring expansion (BASELINE.json north_star) over an
+    * in-plan DataFrame: candidates come from a broadcast cell join against
+    * the (cached) tiled points. Exact — see [[knnExpand]]. */
+  def knnRing(points: DataFrame, lonCol: String, latCol: String,
+              qid: Int, qLon: Double, qLat: Double, k: Int, bits: Int,
+              tieCol: String): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val tiled = withTile(points, lonCol, latCol, bits, "__cell").cache()
+    try {
+      def scan(cells: Seq[Long]): DataFrame =
+        tiled.join(broadcast(cells.toDF("__cell")), "__cell")
+      knnExpand(spark, lonCol, latCol, qLon, qLat, k, bits, tieCol,
+          scan, cells => scan(cells).count())
+        .withColumn("qid", lit(qid))
+        .drop("__cell")
+    } finally tiled.unpersist()
+  }
+
+  /** kNN against a PRE-TILED Iceberg-lite table: each expansion step reads
+    * ONLY the partitions holding candidate cells (partition pruning on the
+    * tile-prefix partition column at `prefixBits`), and the expansion
+    * COUNTS come from the manifest's per-partition row counts — zero Spark
+    * jobs until the final scan. At 10¹² rows each step touches a handful
+    * of partitions instead of the table. The table needs `lon`, `lat` and
+    * the prefix partition column. Exact — see [[knnExpand]]. */
+  def knnIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                 prefixCol: String, prefixBits: Int,
+                 lonCol: String, latCol: String,
+                 qLon: Double, qLat: Double, k: Int, tieCol: String): DataFrame = {
+    val manifest = graft.data.IcebergLite.readManifest(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $table"))
+    val rowsByPartition: Map[String, Long] =
+      manifest.entries.map(e => e.partition -> e.rows).toMap
+    def scan(cells: Seq[Long]): DataFrame =
+      graft.data.IcebergLite.read(spark, table)
+        .where(col(prefixCol).isin(cells: _*))
+    knnExpand(spark, lonCol, latCol, qLon, qLat, k, prefixBits, tieCol,
+      scan, cells => cells.map(c => rowsByPartition.getOrElse(c.toString, 0L)).sum)
   }
 
   /** Large-large equi-join on tile keys with explicit deterministic salting
