@@ -255,6 +255,54 @@ object SparkEntry {
         .select("tile", "n_images", "min_lat", "max_lat", "min_lon", "max_lon",
                 "n_fmts", "caption_bytes", "cell_area_m2")
     },
+    // --- reference row-parity mode + relational surface breadth ---
+    "q23_box_coarse" -> gq { (s, dir) =>
+      // reference GeoHash.box semantics: cell-coarse superset, NO refine
+      // (SURVEY.md §3.2 #19 — parity mode)
+      SpatialOps.boxQuery(
+        SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey"),
+        "lon", "lat", londonBox, 20, refine = false)
+        .select("c_custkey", "lon", "lat")
+    },
+    "q24_semi_join" -> gq { (s, dir) =>
+      val inBox = SpatialOps.boxQuery(
+        SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey"),
+        "lon", "lat", londonBox, 20)
+      inBox.join(ld(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey")
+    },
+    "q25_anti_join" -> gq { (s, dir) =>
+      val inBox = SpatialOps.boxQuery(
+        SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey"),
+        "lon", "lat", londonBox, 20)
+      inBox.join(ld(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+    },
+    "q26_rollup" -> gq { (s, dir) =>
+      ld(s, dir, "documents").rollup("lang", "source")
+        .agg(count(lit(1)).as("n"))
+        .select("lang", "source", "n")
+    },
+    "q27_json_extract" -> gq { (s, dir) =>
+      ld(s, dir, "events")
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+        .groupBy("event_type")
+        .agg(sum("k").as("sum_k"), count(lit(1)).as("n"))
+        .select("event_type", "sum_k", "n")
+    },
+    "q28_except" -> gq { (s, dir) =>
+      val pos = SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey")
+      val wide = SpatialOps.boxQuery(pos, "lon", "lat", BBox(-5.0, 48.0, 5.0, 54.0), 20).select("c_custkey")
+      val inner = SpatialOps.boxQuery(pos, "lon", "lat", londonBox, 20).select("c_custkey")
+      wide.exceptAll(inner)
+    },
+    "q29_monthly" -> gq { (s, dir) =>
+      ld(s, dir, "orders")
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month"))
+        .agg(count(lit(1)).as("n"),
+             expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
+        .select("month", "n", "total")
+    },
     // --- streaming (Structured Streaming; result == batch GROUP BY) ---
     "q50_stream_window" -> gq { (s, dir) =>
       graft.engine.StreamOps.streamedWindowAgg(s, s"$dir/events.parquet")
@@ -419,6 +467,38 @@ object SparkEntry {
       "q34_ann_topk" -> annBruteDuck("embeddings", "vec_id", "embedding", 64, 3, 10),
       "q39_embed_neardup" ->
         blockedNearDupDuck("embeddings", "vec_id", "embedding", "label", 64, 0.45),
+      "q23_box_coarse" -> { // cell-coarse reference parity: tile IN covering
+        val cells = Geohash.covering(londonBox.minLon, londonBox.minLat,
+          londonBox.maxLon, londonBox.maxLat, 20)
+        s"""$custIdx SELECT c_custkey, _lon AS lon, _lat AS lat FROM _idx
+           | WHERE ${tileSql("_gx", "_gy", 20)} IN (${cells.mkString(", ")})""".stripMargin.replace("\n", " ")
+      },
+      "q24_semi_join" ->
+        s"""$custIdx SELECT c_custkey FROM _idx
+           | WHERE _lon >= ${londonBox.minLon} AND _lon <= ${londonBox.maxLon}
+           |   AND _lat >= ${londonBox.minLat} AND _lat <= ${londonBox.maxLat}
+           |   AND EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin.replace("\n", " "),
+      "q25_anti_join" ->
+        s"""$custIdx SELECT c_custkey FROM _idx
+           | WHERE _lon >= ${londonBox.minLon} AND _lon <= ${londonBox.maxLon}
+           |   AND _lat >= ${londonBox.minLat} AND _lat <= ${londonBox.maxLat}
+           |   AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin.replace("\n", " "),
+      "q26_rollup" ->
+        "SELECT lang, source, count(*) AS n FROM documents GROUP BY ROLLUP (lang, source)",
+      "q27_json_extract" ->
+        """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+          | count(*) AS n FROM events GROUP BY event_type""".stripMargin.replace("\n", " "),
+      "q28_except" ->
+        s"""$custIdx SELECT c_custkey FROM _idx
+           | WHERE _lon >= -5.0 AND _lon <= 5.0 AND _lat >= 48.0 AND _lat <= 54.0
+           | EXCEPT ALL
+           | SELECT c_custkey FROM _idx
+           | WHERE _lon >= ${londonBox.minLon} AND _lon <= ${londonBox.maxLon}
+           |   AND _lat >= ${londonBox.minLat} AND _lat <= ${londonBox.maxLat}""".stripMargin.replace("\n", " "),
+      "q29_monthly" ->
+        """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n,
+          | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+          | FROM orders GROUP BY 1""".stripMargin.replace("\n", " "),
       "q50_stream_window" ->
         """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
           | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
