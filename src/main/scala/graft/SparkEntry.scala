@@ -125,16 +125,16 @@ object SparkEntry {
         .select("c_custkey", "lon", "lat")
     },
     "q18_pip_indexed" -> gq { (s, dir) =>
-      // index-accelerated PIP: covering cells of the polygon bbox prefilter
-      // candidates (broadcast equi-join), exact ray-cast refines — same
-      // semantics as q08, different physical path
+      // index-accelerated PIP: POLYGON covering cells (exact rect-polygon
+      // intersection, tighter than the bbox) prefilter candidates via a
+      // broadcast equi-join; exact ray-cast refines — same semantics as
+      // q08, different physical path
+      import s.implicits._
       val rings = graft.core.GeoMath.parseWktPolygon(franceWkt)
-      val outer = rings.head
-      val lons = outer.indices.collect { case i if i % 2 == 0 => outer(i) }
-      val lats = outer.indices.collect { case i if i % 2 == 1 => outer(i) }
+      val cells = graft.core.Geohash.polygonCovering(rings, 15).toSeq.toDF("__cell")
       val pts = SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey")
-      SpatialOps.boxQuery(pts, "lon", "lat",
-          BBox(lons.min, lats.min, lons.max, lats.max), 15, refine = false)
+      SpatialOps.withTile(pts, "lon", "lat", 15, "__cell")
+        .join(broadcast(cells), "__cell")
         .where(gf.st_contains_wkt(lit(franceWkt), col("lon"), col("lat")))
         .select("c_custkey", "lon", "lat")
     },

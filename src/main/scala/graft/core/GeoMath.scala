@@ -64,6 +64,70 @@ object GeoMath {
     inside
   }
 
+  /** Proper segment intersection test (excluding pure-collinear touches;
+    * adequate for covering because collinear overlap implies a vertex-in-
+    * rect or corner-in-polygon hit too in non-degenerate inputs). */
+  @inline private def orient(ax: Double, ay: Double, bx: Double, by: Double,
+                             cx: Double, cy: Double): Double =
+    (bx - ax) * (cy - ay) - (by - ay) * (cx - ax)
+
+  def segmentsIntersect(p1x: Double, p1y: Double, p2x: Double, p2y: Double,
+                        q1x: Double, q1y: Double, q2x: Double, q2y: Double): Boolean = {
+    val d1 = orient(q1x, q1y, q2x, q2y, p1x, p1y)
+    val d2 = orient(q1x, q1y, q2x, q2y, p2x, p2y)
+    val d3 = orient(p1x, p1y, p2x, p2y, q1x, q1y)
+    val d4 = orient(p1x, p1y, p2x, p2y, q2x, q2y)
+    ((d1 > 0 && d2 < 0) || (d1 < 0 && d2 > 0)) &&
+      ((d3 > 0 && d4 < 0) || (d3 < 0 && d4 > 0))
+  }
+
+  /** Exact rectangle–polygon intersection (boundaries count): true iff the
+    * axis-aligned rect [minX,maxX]×[minY,maxY] intersects the polygon
+    * (outer ring + holes, even-odd). Cases: rect corner inside polygon,
+    * polygon vertex inside rect, or any edge crossing. */
+  def rectIntersectsPolygon(minX: Double, minY: Double, maxX: Double, maxY: Double,
+                            rings: Array[Array[Double]]): Boolean = {
+    // rect corner strictly inside the polygon
+    if (pointInPolygon(minX, minY, rings) || pointInPolygon(maxX, minY, rings) ||
+        pointInPolygon(minX, maxY, rings) || pointInPolygon(maxX, maxY, rings)) return true
+    // any polygon vertex inside the rect
+    var ri = 0
+    while (ri < rings.length) {
+      val ring = rings(ri)
+      var i = 0
+      while (i < ring.length / 2) {
+        val x = ring(2 * i); val y = ring(2 * i + 1)
+        if (x >= minX && x <= maxX && y >= minY && y <= maxY) return true
+        i += 1
+      }
+      ri += 1
+    }
+    // any ring edge crossing any rect edge
+    val rect = Array(
+      (minX, minY, maxX, minY), (maxX, minY, maxX, maxY),
+      (maxX, maxY, minX, maxY), (minX, maxY, minX, minY))
+    ri = 0
+    while (ri < rings.length) {
+      val ring = rings(ri)
+      val n = ring.length / 2
+      var i = 0
+      while (i < n) {
+        val j = (i + 1) % n
+        val ax = ring(2 * i); val ay = ring(2 * i + 1)
+        val bx = ring(2 * j); val by = ring(2 * j + 1)
+        var e = 0
+        while (e < 4) {
+          val (qx1, qy1, qx2, qy2) = rect(e)
+          if (segmentsIntersect(ax, ay, bx, by, qx1, qy1, qx2, qy2)) return true
+          e += 1
+        }
+        i += 1
+      }
+      ri += 1
+    }
+    false
+  }
+
   /** Parse a (subset of) WKT POLYGON into rings; used by the PIP expression
     * so polygons travel as plain strings in plans. Accepts
     * `POLYGON ((x y, x y, ...), (hole...))`. */

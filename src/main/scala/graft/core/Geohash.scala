@@ -170,6 +170,22 @@ object Geohash {
     out
   }
 
+  /** Cells at `bits` precision intersecting a POLYGON (outer ring + holes):
+    * bbox covering refined by exact rectangle–polygon intersection — the
+    * vector side of raster-tile↔vector joins (north_star extension; the
+    * reference only covers boxes). Polygons must not cross the
+    * anti-meridian (coordinates are plain lon/lat plane values). */
+  def polygonCovering(rings: Array[Array[Double]], bits: Int,
+                      maxCells: Int = 1 << 20): Array[Long] = {
+    val outer = rings.head
+    val lons = outer.indices.collect { case i if i % 2 == 0 => outer(i) }
+    val lats = outer.indices.collect { case i if i % 2 == 1 => outer(i) }
+    covering(lons.min, lats.min, lons.max, lats.max, bits, maxCells).filter { c =>
+      val b = boundingBox(c, bits)
+      GeoMath.rectIntersectsPolygon(b.minLon, b.minLat, b.maxLon, b.maxLat, rings)
+    }
+  }
+
   /** (SW-corner cell, #cells lon, #cells lat) for a box — reference
     * `string.grid_properties` (SURVEY.md §3.1 #10); planner input for
     * covering-size / broadcast decisions. */

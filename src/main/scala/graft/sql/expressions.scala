@@ -412,6 +412,21 @@ case class GhCoveringArray(children: Seq[Expression])
     copy(children = cs)
 }
 
+/** gh_covering_polygon(wkt, bits) → ARRAY<LONG> — cells intersecting a WKT
+  * polygon (bbox covering refined by exact rect-polygon intersection);
+  * the vector side of raster↔vector joins. */
+case class GhCoveringPolygon(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "gh_covering_polygon"
+  override def nullSafeEval(wkt: Any, bits: Any): Any =
+    new GenericArrayData(Geohash.polygonCovering(
+      GeoMath.parseWktPolygon(wkt.asInstanceOf[UTF8String].toString),
+      bits.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** gh_covering_cells(min_lon, min_lat, max_lon, max_lat, bits) — Generator
   * form: one output row per covering cell (column `cell: LONG`). The
   * distributed analogue of the reference's lattice walk (SURVEY.md §3.1 #8):

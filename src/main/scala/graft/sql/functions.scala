@@ -73,6 +73,8 @@ object GraftFunctions {
       (e: Seq[Expression]) => { require(e.length == 2, "hex_ring(id, k)"); HexRing(cL(e(0)), cI(e(1))) }),
     ("gh_covering", "gh_covering(min_lon, min_lat, max_lon, max_lat, bits) - array of covering cells",
       (e: Seq[Expression]) => GhCoveringArray(e.take(4).map(cD) :+ cI(e(4)))),
+    ("gh_covering_polygon", "gh_covering_polygon(wkt, bits) - cells intersecting a WKT polygon",
+      (e: Seq[Expression]) => { require(e.length == 2, "gh_covering_polygon(wkt, bits)"); GhCoveringPolygon(cS(e(0)), cI(e(1))) }),
     ("gh_covering_cells", "gh_covering_cells(min_lon, min_lat, max_lon, max_lat, bits) - generator: one row per covering cell",
       (e: Seq[Expression]) => GhCoveringCells(e.take(4).map(cD) :+ cI(e(4)))),
   ).map { case (n, u, b) => (new FunctionIdentifier(n), info(n, u), b) }
@@ -135,6 +137,8 @@ object functions {
     call_function("gh_covering", minLon, minLat, maxLon, maxLat, lit(bits))
   def gh_covering_cells(minLon: Column, minLat: Column, maxLon: Column, maxLat: Column, bits: Int): Column =
     call_function("gh_covering_cells", minLon, minLat, maxLon, maxLat, lit(bits))
+  def gh_covering_polygon(wkt: Column, bits: Int): Column =
+    call_function("gh_covering_polygon", wkt, lit(bits))
 }
 
 /** Session factory with graft functions pre-registered and scale-appropriate

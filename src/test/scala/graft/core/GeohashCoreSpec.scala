@@ -208,6 +208,34 @@ class GeohashCoreSpec extends AnyFunSuite with PropHelper {
     assert(math.abs(anti - math.Pi * GeoMath.EarthRadiusM) < 1.0)
   }
 
+  test("polygon covering: matches JTS intersects cell-for-cell") {
+    import org.locationtech.jts.io.WKTReader
+    import org.locationtech.jts.geom.GeometryFactory
+    val wkts = Seq(
+      "POLYGON ((-2.5 41.0, 3.0 41.5, 2.0 48.0, -4.5 47.5, -2.5 41.0))",
+      "POLYGON ((0 0, 10 0, 10 10, 5 5, 0 10, 0 0))",
+      "POLYGON ((0 0, 12 0, 12 12, 0 12, 0 0), (3 3, 9 3, 9 9, 3 9, 3 3))")
+    val reader = new WKTReader(new GeometryFactory())
+    wkts.foreach { wkt =>
+      val rings = GeoMath.parseWktPolygon(wkt)
+      val jts = reader.read(wkt)
+      for (bits <- Seq(10, 14, 18)) {
+        val got = Geohash.polygonCovering(rings, bits).toSet
+        // oracle: bbox covering filtered by JTS intersects
+        val outer = rings.head
+        val lons = outer.indices.collect { case i if i % 2 == 0 => outer(i) }
+        val lats = outer.indices.collect { case i if i % 2 == 1 => outer(i) }
+        val expect = Geohash.covering(lons.min, lats.min, lons.max, lats.max, bits).filter { c =>
+          val b = Geohash.boundingBox(c, bits)
+          val env = new org.locationtech.jts.geom.Envelope(b.minLon, b.maxLon, b.minLat, b.maxLat)
+          jts.intersects(new GeometryFactory().toGeometry(env))
+        }.toSet
+        assert(got == expect, s"$wkt bits=$bits: missing=${(expect -- got).size} extra=${(got -- expect).size}")
+        assert(got.nonEmpty)
+      }
+    }
+  }
+
   test("point in polygon: convex, concave, hole — vs JTS oracle") {
     import org.locationtech.jts.geom.{GeometryFactory, Coordinate}
     import org.locationtech.jts.io.WKTReader
