@@ -19,16 +19,20 @@ object AnnOps {
   def queryVec(q: Int, dim: Int): Array[Double] =
     Array.tabulate(dim)(j => (((q * dim + j) * 37) % 190 - 90) / 100.0)
 
-  private def elemD(embCol: String, j: Int): Column =
-    element_at(col(embCol), j + 1).cast("double")
-
-  /** Left-to-right dot product with a constant vector. */
-  def dotConst(embCol: String, qv: Array[Double]): Column =
-    qv.indices.map(j => elemD(embCol, j) * lit(qv(j))).reduce(_ + _)
+  /** Left-to-right dot product with a constant vector. zip_with+aggregate
+    * fold left in element order, so the double sum is bit-identical to the
+    * oracle's explicit `e[1]*q1 + e[2]*q2 + …` chain, with codegen that
+    * stays O(1) in dim instead of a 64-term expression tree (the explicit
+    * form made Janino compile multi-KB methods per query). */
+  def dotConst(embCol: String, qv: Array[Double]): Column = {
+    val qlit = array(qv.map(lit): _*)
+    aggregate(zip_with(col(embCol).cast("array<double>"), qlit, (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+  }
 
   /** Left-to-right squared norm of the embedding column. */
   def norm2(embCol: String, dim: Int): Column =
-    (0 until dim).map(j => elemD(embCol, j) * elemD(embCol, j)).reduce(_ + _)
+    aggregate(col(embCol).cast("array<double>"), lit(0.0), (acc, x) => acc + x * x)
 
   /** Brute-force exact top-k by cosine for nQueries fixed query vectors.
     * Output (qid, rnk, vec_id, cosine). Scale note: this is the baseline /
@@ -97,9 +101,9 @@ object AnnOps {
       .withColumn("_na", sqrt(norm2("_ea", dim)))
     val b = emb.select(col(labelCol).as("_l"), col(idCol).as("vec_b"), col(embCol).as("_eb"))
       .withColumn("_nb", sqrt(norm2("_eb", dim)))
-    val dot = (0 until dim).map(j =>
-      element_at(col("_ea"), j + 1).cast("double") * element_at(col("_eb"), j + 1).cast("double"))
-      .reduce(_ + _)
+    val dot = aggregate(
+      zip_with(col("_ea").cast("array<double>"), col("_eb").cast("array<double>"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
     val cos = dot / (col("_na") * col("_nb"))
     a.join(b, Seq("_l")).where(col("vec_a") < col("vec_b"))
       .withColumn("cosine", cos)
