@@ -167,14 +167,14 @@ object SparkEntry {
     //     table is generated, invariants are asserted in-query) ---
     "q20_image_tile_assign" -> gq { (s, dir) =>
       import graft.data.Images
-      Images.withTile(Images.generate(s, imageScale(dir)).toDF(), 30)
+      Images.withTile(Images.table(s, imageScale(dir)), 30)
         .select("image_id", "lon", "lat", "tile")
     },
     "q21_image_box_join" -> gq { (s, dir) =>
       // box query over the hot cluster + per-row invariant columns:
       // psnr_db ≥ 40 (lossy) and caption equality survive the join
       import graft.data.Images
-      val tiled = Images.withTile(Images.generate(s, imageScale(dir)).toDF(), 20)
+      val tiled = Images.withTile(Images.table(s, imageScale(dir)), 20)
       val got = SpatialOps.boxQuery(tiled, "lon", "lat", BBox(-0.25, 51.375, 0.0, 51.625), 20)
       Images.withPsnr(got)
         .withColumn("caption_ok", col("caption") === udf((id: String) => graft.data.ImageGen.captionOf(id)).apply(col("image_id")))
@@ -244,7 +244,7 @@ object SparkEntry {
       // per-tile metrics emission (north_rule): counts, extent, cell area,
       // format mix per tile of the image table (rows-only check)
       import graft.data.Images
-      Images.withTile(Images.generate(s, imageScale(dir)).toDF(), 20)
+      Images.withTile(Images.table(s, imageScale(dir)), 20)
         .groupBy(col("tile"))
         .agg(count(lit(1)).as("n_images"),
              min("lat").as("min_lat"), max("lat").as("max_lat"),

@@ -23,6 +23,15 @@ object Images {
     spark.range(0, n, 1, parts).map(i => ImageGen.rowOf(i))
   }
 
+  // ImageIO encoding dominates generation; queries over the same (session,
+  // n) share one persisted table instead of regenerating per query.
+  private val cached = scala.collection.concurrent.TrieMap.empty[(String, Long), DataFrame]
+
+  /** Session-cached generated table (MEMORY_AND_DISK). */
+  def table(spark: SparkSession, n: Long): DataFrame =
+    cached.getOrElseUpdate((spark.sparkContext.applicationId, n),
+      generate(spark, n).toDF().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   /** lat/lon are derived, never stored (input_hint): append them. */
   def withPosition(df: DataFrame): DataFrame =
     df.withColumn("lon", call_udf_posLon(col("image_id")))
