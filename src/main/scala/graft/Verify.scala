@@ -15,11 +15,27 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+    // per-query wall budget: one runaway query must not eat the whole
+    // verify window — cancel its job group and move on
+    val budgetMs = sys.env.getOrElse("SPARK_GRAFT_QUERY_BUDGET_MS", "300000").toLong
+    val sc = spark.sparkContext
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val worker = new Thread(() => {
+        try {
+          sc.setJobGroup(name, name, interruptOnCancel = true)
+          fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+            .parquet(s"$outDir/$name")
+        } catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        } finally sc.clearJobGroup()
+      }, s"verify-$name")
+      worker.setDaemon(true)
+      worker.start()
+      worker.join(budgetMs)
+      if (worker.isAlive) {
+        System.err.println(s"[verify] $name exceeded ${budgetMs}ms budget; cancelling")
+        sc.cancelJobGroup(name)
+        worker.join(30000)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
