@@ -296,6 +296,19 @@ object SparkEntry {
       val inner = SpatialOps.boxQuery(pos, "lon", "lat", londonBox, 20).select("c_custkey")
       wide.exceptAll(inner)
     },
+    "q42_order_gaps" -> gq { (s, dir) =>
+      // window functions beyond top-k: per-customer order sequence with
+      // lag-based inter-order gap (microsecond-exact for oracle parity)
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate").asc, col("o_orderkey").asc)
+      ld(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w).cast("bigint"))
+        .withColumn("gap_us",
+          expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))") -
+            lag(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))"), 1).over(w))
+        .where(col("rnk") <= 5)
+        .select("o_custkey", "rnk", "o_orderkey", "gap_us")
+    },
     "q29_monthly" -> gq { (s, dir) =>
       ld(s, dir, "orders")
         .groupBy(date_trunc("month", col("o_orderdate")).cast("timestamp_ntz").as("month"))
@@ -495,6 +508,13 @@ object SparkEntry {
            | SELECT c_custkey FROM _idx
            | WHERE _lon >= ${londonBox.minLon} AND _lon <= ${londonBox.maxLon}
            |   AND _lat >= ${londonBox.minLat} AND _lat <= ${londonBox.maxLat}""".stripMargin.replace("\n", " "),
+      "q42_order_gaps" ->
+        """WITH _w AS (SELECT o_custkey, o_orderkey,
+          |   row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS rnk,
+          |   epoch_us(o_orderdate) - lag(epoch_us(o_orderdate), 1)
+          |     OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC) AS gap_us
+          | FROM orders)
+          | SELECT o_custkey, rnk, o_orderkey, gap_us FROM _w WHERE rnk <= 5""".stripMargin.replace("\n", " "),
       "q29_monthly" ->
         """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n,
           | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
