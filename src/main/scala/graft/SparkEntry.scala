@@ -231,6 +231,21 @@ object SparkEntry {
         size(graft.engine.TextOps.tokens(col("text"))).cast("bigint").as("n_tokens"),
         length(col("text")).cast("bigint").as("n_chars_len"))
     },
+    "q43_ngram_jaccard" -> gq { (s, dir) =>
+      // standalone n-gram jaccard on deterministic candidate pairs
+      // (consecutive doc ids)
+      val docs = ld(s, dir, "documents")
+      val pairs = docs.select(col("doc_id").as("doc_a"), (col("doc_id") + 1).as("doc_b"))
+        .join(docs.select(col("doc_id").as("doc_b")), "doc_b")
+      graft.engine.TextOps.ngramJaccard(docs, "doc_id", "text", pairs)
+    },
+    "q44_bpeish_tokens" -> gq { (s, dir) =>
+      graft.engine.TextOps.bpeishTokenCount(ld(s, dir, "documents"), "doc_id", "text")
+    },
+    "q45_rolling_fp" -> gq { (s, dir) => // per-char loop: no SQL oracle
+      ld(s, dir, "documents")
+        .select(col("doc_id"), call_function("rolling_hash", col("text")).as("fp"))
+    },
     "q34_ann_topk" -> gq { (s, dir) =>
       graft.engine.AnnOps.annBrute(ld(s, dir, "embeddings"), "vec_id", "embedding", 64, 3, 10)
     },
@@ -477,6 +492,22 @@ object SparkEntry {
       "q37_token_count" ->
         s"""SELECT doc_id, CAST(len(${tokensDuck("text")}) AS BIGINT) AS n_tokens,
            | CAST(length(text) AS BIGINT) AS n_chars_len FROM documents""".stripMargin.replace("\n", " "),
+      "q43_ngram_jaccard" ->
+        s"""${shingleCtes("documents", "doc_id", "text")},
+           | _cnt AS (SELECT doc_id, count(*) AS n FROM _sh GROUP BY doc_id),
+           | _pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |            FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1),
+           | _int AS (SELECT doc_a, doc_b, count(*) AS inter
+           |          FROM _pairs p JOIN _sh x ON x.doc_id = p.doc_a
+           |                        JOIN _sh y ON y.doc_id = p.doc_b AND y.sh = x.sh
+           |          GROUP BY 1, 2)
+           | SELECT p.doc_a, p.doc_b, COALESCE(i.inter, 0) AS inter, na.n AS n_a, nb.n AS n_b,
+           |   CAST(COALESCE(i.inter, 0) AS DOUBLE) / (na.n + nb.n - COALESCE(i.inter, 0)) AS jaccard
+           | FROM _pairs p LEFT JOIN _int i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+           |   JOIN _cnt na ON na.doc_id = p.doc_a JOIN _cnt nb ON nb.doc_id = p.doc_b""".stripMargin.replace("\n", " "),
+      "q44_bpeish_tokens" ->
+        """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)
+          | AS n_bpeish FROM documents""".stripMargin.replace("\n", " "),
       "q34_ann_topk" -> annBruteDuck("embeddings", "vec_id", "embedding", 64, 3, 10),
       "q39_embed_neardup" ->
         blockedNearDupDuck("embeddings", "vec_id", "embedding", "label", 64, 0.45),

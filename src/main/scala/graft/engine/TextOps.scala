@@ -136,4 +136,31 @@ object TextOps {
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol),
       hash60(array_join(array_sort(array_distinct(tokens(col(textCol)))), " ")).as("fp"))
+
+  /** Exact n-gram (3-shingle) jaccard for given candidate pairs — the
+    * standalone n-gram-Jaccard dedup op (minhashLshPairs uses the same
+    * computation on LSH candidates). */
+  def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
+                   pairs: DataFrame /* (doc_a, doc_b) */): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol)
+    val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("x"), col("doc_a") === col(s"x.$idCol"))
+      .join(sh.as("y"), col("doc_b") === col(s"y.$idCol") && col("y.sh") === col("x.sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("inter"))
+    pairs
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(cnt.select(col(idCol).as("doc_a"), col("n").as("n_a")), "doc_a")
+      .join(cnt.select(col(idCol).as("doc_b"), col("n").as("n_b")), "doc_b")
+      .withColumn("jaccard", col("inter").cast("double") / (col("n_a") + col("n_b") - col("inter")))
+      .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+  }
+
+  /** BPE-ish regex token count: letter runs, digit runs, and single
+    * non-space symbols — the subword-style pre-tokenizer count. */
+  def bpeishTokenCount(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      size(expr(s"regexp_extract_all($textCol, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .cast("bigint").as("n_bpeish"))
 }

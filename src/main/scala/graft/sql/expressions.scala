@@ -335,6 +335,18 @@ case class S2Token(left: Expression, right: Expression) extends BinaryExpression
     copy(left = l, right = r)
 }
 
+/** rolling_hash(text) → LONG — streaming polynomial fingerprint
+  * (graft.core.TextHash; per-char loop, so no SQL oracle form). */
+case class RollingHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash"
+  override def nullSafeEval(s: Any): Any =
+    graft.core.TextHash.rollingHash(s.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.core.TextHash.rollingHash($s.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** hex_cell(lon, lat, size) → LONG — packed axial hex id (planar pointy-top
   * lattice, graft.core.HexGrid; hexagonal capability per north_star,
   * honestly scoped — not H3-compatible). */

@@ -63,6 +63,8 @@ object GraftFunctions {
       (e: Seq[Expression]) => { require(e.length == 2, "s2_neighbors(id, level)"); S2Neighbors(cL(e(0)), cI(e(1))) }),
     ("s2_token", "s2_token(id, level) - display token",
       (e: Seq[Expression]) => { require(e.length == 2, "s2_token(id, level)"); S2Token(cL(e(0)), cI(e(1))) }),
+    ("rolling_hash", "rolling_hash(text) - streaming polynomial fingerprint",
+      (e: Seq[Expression]) => { require(e.length == 1, "rolling_hash(text)"); RollingHash(cS(e(0))) }),
     ("hex_cell", "hex_cell(lon, lat, size) - packed axial hex id (planar lattice)",
       (e: Seq[Expression]) => { require(e.length == 3, "hex_cell(lon, lat, size)"); HexCell(cD(e(0)), cD(e(1)), cD(e(2))) }),
     ("hex_center", "hex_center(id, size) - hex center struct(lon, lat)",
