@@ -28,15 +28,20 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save() }
-      catch { case _: Throwable => }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+                catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+      (name, (System.nanoTime() - t0) / 1e9, err)
     }
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // a failed query is reported as an error object, never as a (fast) time
+    val qs = results.map {
+      case (k, v, None) => "\"" + k + "\":" + v
+      case (k, _, Some(e)) => "\"" + k + "\":{\"err\":\"" + e + "\"}"
+    }.mkString("{", ",", "}")
+    val nErr = results.count(_._3.isDefined)
+    val total = results.collect { case (_, v, None) => v }.sum
     val hl = headline.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","headline":$hl,"cores":$cpus}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","errors":$nErr,"queries":$qs,"sf":"$sfDir","headline":$hl,"cores":$cpus}""")
     spark.stop()
   }
 }

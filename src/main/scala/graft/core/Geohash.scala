@@ -54,6 +54,15 @@ object Geohash {
     if (y >= Scale30) Scale30 - 1 else if (y < 0) 0L else y
   }
 
+  /** 30-bit longitude index of a box's MAX (east) edge: lon >= 180 clamps to
+    * the last column instead of wrapping to -180 (normLon would wrap 180 to
+    * -180, silently collapsing a full-world box to one column and making
+    * e.g. (170..180) a negative-width range). Anti-meridian-crossing boxes
+    * are expressed as minLon > maxLon within [-180, 180), never via
+    * maxLon >= 180. */
+  @inline def lonIdxMax30(lon: Double): Long =
+    if (lon >= 180.0) Scale30 - 1 else lonIdx30(lon)
+
   /** Encode (lon, lat) to a right-justified Morton geohash at `bits`
     * precision (1..60). Leading bit is a longitude bit [SPEC]. */
   def encode(lon: Double, lat: Double, bits: Int): Long = {
@@ -151,7 +160,7 @@ object Geohash {
     val y0 = latIdx30(minLat) >>> (Morton.MaxBits - latBitsOf(bits))
     val y1 = latIdx30(maxLat) >>> (Morton.MaxBits - latBitsOf(bits))
     val x0 = lonIdx30(minLon) >>> (Morton.MaxBits - lonBitsOf(bits))
-    val x1 = lonIdx30(maxLon) >>> (Morton.MaxBits - lonBitsOf(bits))
+    val x1 = lonIdxMax30(maxLon) >>> (Morton.MaxBits - lonBitsOf(bits))
     // wrapped (anti-meridian) boxes span x0..nx-1 then 0..x1
     val xCount = if (minLon > maxLon) (nx - x0) + x1 + 1 else x1 - x0 + 1
     val total = xCount * (y1 - y0 + 1)
@@ -193,7 +202,7 @@ object Geohash {
                      bits: Int): (Long, Long, Long) = {
     val nx = 1L << lonBitsOf(bits)
     val x0 = lonIdx30(minLon) >>> (Morton.MaxBits - lonBitsOf(bits))
-    val x1 = lonIdx30(maxLon) >>> (Morton.MaxBits - lonBitsOf(bits))
+    val x1 = lonIdxMax30(maxLon) >>> (Morton.MaxBits - lonBitsOf(bits))
     val y0 = latIdx30(minLat) >>> (Morton.MaxBits - latBitsOf(bits))
     val y1 = latIdx30(maxLat) >>> (Morton.MaxBits - latBitsOf(bits))
     val cx = if (minLon > maxLon) (nx - x0) + x1 + 1 else x1 - x0 + 1

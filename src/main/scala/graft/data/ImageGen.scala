@@ -48,7 +48,9 @@ object ImageGen {
     val r1 = splitmix64(h); val r2 = splitmix64(r1)
     def unit(r: Long): Double = (r >>> 11).toDouble / (1L << 53).toDouble // [0,1)
     if (java.lang.Long.remainderUnsigned(h, 10) == 0) {
-      val c = hotCenters(java.lang.Long.remainderUnsigned(h, 5).toInt)
+      // center picked from an INDEPENDENT hash value: h%10==0 implies h%5==0,
+      // so using h itself would collapse all hot rows onto hotCenters(0)
+      val c = hotCenters(java.lang.Long.remainderUnsigned(splitmix64(h ^ 0xC1L), 5).toInt)
       // sum of 4 uniforms ≈ gaussian; range ±0.02°, σ≈0.01°
       val r3 = splitmix64(r2); val r4 = splitmix64(r3)
       val dx = (unit(r1) + unit(r2) - 1.0) * 0.02

@@ -116,7 +116,8 @@ object SpatialOps {
                         lonCol: String, latCol: String,
                         qLon: Double, qLat: Double, k: Int, bits: Int, tieCol: String,
                         scanCells: Seq[Long] => DataFrame,
-                        countCells: Seq[Long] => Long): DataFrame = {
+                        countCells: Seq[Long] => Long,
+                        totalRows: Long): DataFrame = {
     import spark.implicits._
     val center = Geohash.encode(qLon, qLat, bits)
     val cellMin = math.min(Geohash.cellWidth(bits), Geohash.cellHeight(bits))
@@ -144,18 +145,28 @@ object SpatialOps {
     var r = 0L
     var accCells = Seq.empty[Long]
     var found = 0L
-    while (found < k && r < math.max(nx, ny)) {
-      accCells = accCells ++ ringCells(r)
+    // stop as soon as every existing row is found (k may exceed the table —
+    // without this bound an empty table would expand ring-by-ring to the
+    // whole grid, one count job per ring)
+    val target = math.min(k.toLong, totalRows)
+    while (found < target && r < math.max(nx, ny)) {
+      // distinct BEFORE counting: at coarse precisions wrapped ring cells can
+      // repeat, and manifest-count duplicates would stop expansion early
+      accCells = (accCells ++ ringCells(r)).distinct
       found = countCells(accCells)
       r += 1
     }
     val dist = (col(lonCol) - qLon) * (col(lonCol) - qLon) +
                (col(latCol) - qLat) * (col(latCol) - qLat)
-    val kth = scanCells(accCells).select(dist.as("d")).orderBy($"d".asc).limit(k)
-      .agg(max($"d")).collect()(0).getDouble(0)
-    val needRings = math.ceil(math.sqrt(kth) / cellMin).toLong + 1
+    val kthRow = scanCells(accCells).select(dist.as("d")).orderBy($"d".asc).limit(k)
+      .agg(max($"d")).collect()(0)
+    // null k-th distance = no candidate rows at all (empty table / k > rows):
+    // nothing more to find, skip the disc-coverage extension
+    val needRings =
+      if (kthRow.isNullAt(0)) r - 1
+      else math.ceil(math.sqrt(kthRow.getDouble(0)) / cellMin).toLong + 1
     while (r <= needRings && r < math.max(nx, ny)) {
-      accCells = accCells ++ ringCells(r); r += 1
+      accCells = (accCells ++ ringCells(r)).distinct; r += 1
     }
     val w = Window.partitionBy(lit(1)).orderBy(dist.asc, col(tieCol).asc)
     scanCells(accCells.distinct)
@@ -176,7 +187,7 @@ object SpatialOps {
       def scan(cells: Seq[Long]): DataFrame =
         tiled.join(broadcast(cells.toDF("__cell")), "__cell")
       knnExpand(spark, lonCol, latCol, qLon, qLat, k, bits, tieCol,
-          scan, cells => scan(cells).count())
+          scan, cells => scan(cells).count(), tiled.count())
         .withColumn("qid", lit(qid))
         .drop("__cell")
     } finally tiled.unpersist()
@@ -201,7 +212,8 @@ object SpatialOps {
       graft.data.IcebergLite.read(spark, table)
         .where(col(prefixCol).isin(cells: _*))
     knnExpand(spark, lonCol, latCol, qLon, qLat, k, prefixBits, tieCol,
-      scan, cells => cells.map(c => rowsByPartition.getOrElse(c.toString, 0L)).sum)
+      scan, cells => cells.map(c => rowsByPartition.getOrElse(c.toString, 0L)).sum,
+      rowsByPartition.values.sum)
   }
 
   /** Large-large equi-join on tile keys with explicit deterministic salting

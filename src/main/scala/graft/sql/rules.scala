@@ -17,11 +17,18 @@ import graft.core.GeoMath
   *
   * Idempotent under the optimizer's fixed-point batches: derived conjuncts
   * already present (semantically) are not re-added.
+  *
+  * Soundness: bounds are derived ONLY from PIP predicates that are
+  * TOP-LEVEL CONJUNCTS of the filter condition. A StContainsWkt buried
+  * under OR / NOT / CASE does not imply the bbox bounds for the whole
+  * condition (`pip(..) OR x` admits rows outside the polygon's bbox), so
+  * those are left alone.
   */
 object DerivePipBBox extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
     case f @ Filter(cond, child) =>
-      val derived = cond.collect {
+      val existing = splitConjuncts(cond)
+      val derived = existing.collect {
         case StContainsWkt(wkt, lon, lat) if wkt.foldable && wkt.eval(null) != null =>
           val rings = GeoMath.parseWktPolygon(wkt.eval(null).asInstanceOf[UTF8String].toString)
           val outer = rings.head
@@ -31,7 +38,6 @@ object DerivePipBBox extends Rule[LogicalPlan] {
             GreaterThanOrEqual(lon, Literal(lons.min)), LessThanOrEqual(lon, Literal(lons.max)),
             GreaterThanOrEqual(lat, Literal(lats.min)), LessThanOrEqual(lat, Literal(lats.max)))
       }.flatten
-      val existing = splitConjuncts(cond)
       val fresh = derived.filterNot(d => existing.exists(_.semanticEquals(d)))
       if (fresh.isEmpty) f
       else Filter(fresh.foldLeft(cond)(And(_, _)), child)

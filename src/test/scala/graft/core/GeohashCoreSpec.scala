@@ -236,6 +236,24 @@ class GeohashCoreSpec extends AnyFunSuite with PropHelper {
     }
   }
 
+  test("covering at the 180 east boundary: full-world and (170..180) boxes") {
+    // full world at 5 bits: all 8x4 cells (lon 3 bits, lat 2 bits)
+    val world = Geohash.covering(-180.0, -90.0, 180.0, 90.0, 5)
+    assert(world.length == 32 && world.toSet.size == 32)
+    // a box reaching exactly 180 must cover the easternmost column
+    val east = Geohash.covering(170.0, -10.0, 180.0, 10.0, 10)
+    assert(east.nonEmpty)
+    val eastCell = Geohash.encode(179.999999, 0.0, 10)
+    assert(east.contains(eastCell), s"missing easternmost cell $eastCell")
+    // gridProperties agrees (no negative counts)
+    val (_, cx, cy) = Geohash.gridProperties(170.0, -10.0, 180.0, 10.0, 10)
+    assert(cx > 0 && cy > 0 && cx * cy == east.length)
+    // soundness near the edge: points just west of 180 land in covered cells
+    Seq(179.9999, 175.0, 170.0).foreach { lon =>
+      assert(east.contains(Geohash.encode(lon, 0.0, 10)), s"lon=$lon not covered")
+    }
+  }
+
   test("point in polygon: convex, concave, hole — vs JTS oracle") {
     import org.locationtech.jts.geom.{GeometryFactory, Coordinate}
     import org.locationtech.jts.io.WKTReader

@@ -25,6 +25,27 @@ class EngineOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("knnRing: empty table and k > rows return what exists, no NPE") {
+    val empty = customers.where($"c_custkey" < 0)
+    assert(SpatialOps.knnRing(empty, "lon", "lat", 0, -0.75, 51.25, 5, 20, "c_custkey").count() == 0)
+    val three = customers.limit(3)
+    val got = SpatialOps.knnRing(three, "lon", "lat", 0, -0.75, 51.25, 10, 16, "c_custkey")
+    assert(got.count() == 3, "k > rows should return all rows")
+  }
+
+  test("image hot-spot rows spread across all 5 planted cluster centers") {
+    val hits = (0L until 5000L).map(i => graft.data.ImageGen.posOf(graft.data.ImageGen.idOf(i)))
+      .filter { case (lon, lat) => // near any hot center?
+        Seq((-0.125, 51.5), (139.75, 35.5), (-46.5, -23.5), (77.25, 28.5), (151.25, -33.75))
+          .exists { case (cx, cy) => math.abs(lon - cx) <= 0.021 && math.abs(lat - cy) <= 0.021 }
+      }
+    val perCenter = Seq((-0.125, 51.5), (139.75, 35.5), (-46.5, -23.5), (77.25, 28.5), (151.25, -33.75))
+      .map { case (cx, cy) => hits.count { case (lon, lat) =>
+        math.abs(lon - cx) <= 0.021 && math.abs(lat - cy) <= 0.021 } }
+    assert(perCenter.forall(_ > 0), s"some hot centers never generated: $perCenter")
+    assert(hits.size > 300, s"~10% of rows should be hot, got ${hits.size}/5000")
+  }
+
   test("saltedCellJoin == plain join (row-identical)") {
     val c = SpatialOps.withTile(customers, "lon", "lat", 12)
       .select($"c_custkey", $"tile")

@@ -86,6 +86,27 @@ class PlanSpec extends AnyFunSuite {
     assert(q.count() == expected)
   }
 
+  test("DerivePipBBox: PIP under OR / NOT derives nothing (soundness)") {
+    val dir = java.nio.file.Files.createTempDirectory("pip_or").toString
+    val pts = SpatialOps.withDerivedPosition(
+      spark.read.parquet(s"$sf/customer.parquet").select("c_custkey"), "c_custkey")
+    pts.write.parquet(s"$dir/pts")
+    val stored = spark.read.parquet(s"$dir/pts")
+    val wkt = "POLYGON ((-2.5 41.0, 3.0 41.5, 2.0 48.0, -4.5 47.5, -2.5 41.0))"
+    val rings = graft.core.GeoMath.parseWktPolygon(wkt)
+    val all = pts.collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    // pip(..) OR lat > 60: rows far outside the polygon bbox must survive
+    val orQ = stored.where(gf.st_contains_wkt(lit(wkt), $"lon", $"lat") || $"lat" > 60.0)
+    val orExpect = all.count { case (_, lon, lat) =>
+      graft.core.GeoMath.pointInPolygon(lon, lat, rings) || lat > 60.0 }
+    assert(orQ.count() == orExpect, "OR branch lost rows to derived bbox bounds")
+    // NOT pip(..): complement must not be clipped to the bbox
+    val notQ = stored.where(!gf.st_contains_wkt(lit(wkt), $"lon", $"lat"))
+    val notExpect = all.count { case (_, lon, lat) =>
+      !graft.core.GeoMath.pointInPolygon(lon, lat, rings) }
+    assert(notQ.count() == notExpect, "NOT branch lost rows to derived bbox bounds")
+  }
+
   test("knnIndexed: prunes to candidate-cell partitions, matches brute force") {
     val dir = java.nio.file.Files.createTempDirectory("knn_idx").toString
     val pts = SpatialOps.withDerivedPosition(
