@@ -89,10 +89,28 @@ object BenchWork {
       .write.format("noop").mode("overwrite").save()
     SpatialOps.multiBoxQuery(positions(spark, 100000), "lon", "lat",
       boxes.zipWithIndex.map(_.swap), 20).count()
+    locally {
+      import spark.implicits._
+      graft.data.Images.withTile(
+        spark.range(100000).select(format_string("img%012d", $"id").as("image_id")), 30)
+        .write.format("noop").mode("overwrite").save()
+    }
 
     val tTile = medianOf {
       SpatialOps.withTile(pts, "lon", "lat", 30)
         .select("id", "tile").write.format("noop").mode("overwrite").save()
+    }
+    // the IMAGE-table path: string image_id → FNV/splitmix position
+    // derivation (codegen'd derive_lon/derive_lat) → gh_encode. This is what
+    // q20-q22 actually run per row; the arithmetic path above is the
+    // key-derived-position twin used by the oracle queries.
+    val imgIds = {
+      import spark.implicits._
+      spark.range(rows).select(format_string("img%012d", $"id").as("image_id"))
+    }
+    val tImgTile = medianOf {
+      graft.data.Images.withTile(imgIds, 30)
+        .select("image_id", "tile").write.format("noop").mode("overwrite").save()
     }
     val tJoin = medianOf {
       SpatialOps.multiBoxQuery(pts, "lon", "lat", boxes.zipWithIndex.map(_.swap), 20).count()
@@ -103,9 +121,11 @@ object BenchWork {
     }
     Seq(
       "tile_assign_rows_per_sec" -> rows / tTile,
+      "image_tile_assign_rows_per_sec" -> rows / tImgTile,
       "box_join_rows_per_sec" -> rows / tJoin, // one scan answers all 8 boxes
       "tile_histogram_rows_per_sec" -> rows / tHist,
-      "tile_assign_sec" -> tTile, "box_join_sec" -> tJoin, "tile_histogram_sec" -> tHist,
+      "tile_assign_sec" -> tTile, "image_tile_assign_sec" -> tImgTile,
+      "box_join_sec" -> tJoin, "tile_histogram_sec" -> tHist,
       "rows" -> rows.toDouble)
   }
 

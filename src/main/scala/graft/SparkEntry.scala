@@ -177,7 +177,7 @@ object SparkEntry {
       val tiled = Images.withTile(Images.table(s, imageScale(dir)), 20)
       val got = SpatialOps.boxQuery(tiled, "lon", "lat", BBox(-0.25, 51.375, 0.0, 51.625), 20)
       Images.withPsnr(got)
-        .withColumn("caption_ok", col("caption") === udf((id: String) => graft.data.ImageGen.captionOf(id)).apply(col("image_id")))
+        .withColumn("caption_ok", col("caption") === gf.caption_of(col("image_id")))
         .where(col("psnr_db") >= 40.0 && col("caption_ok"))
         .select("image_id", "tile", "fmt", "psnr_db", "caption_ok")
     },

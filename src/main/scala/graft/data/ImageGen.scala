@@ -41,25 +41,39 @@ object ImageGen {
   private val hotCenters = Array( // (lon, lat) — fixed cluster centers
     (-0.125, 51.5), (139.75, 35.5), (-46.5, -23.5), (77.25, 28.5), (151.25, -33.75))
 
-  /** Derived position: rows with hash%10==0 cluster gaussian-ish (σ≈0.01°)
-    * around one of 5 hot centers; the rest are uniform. */
-  def posOf(id: String): (Double, Double) = {
+  @inline private def unit(r: Long): Double = (r >>> 11).toDouble / (1L << 53).toDouble // [0,1)
+
+  @inline private def isHot(h: Long): Boolean = java.lang.Long.remainderUnsigned(h, 10) == 0
+
+  // center picked from an INDEPENDENT hash value: h%10==0 implies h%5==0,
+  // so using h itself would collapse all hot rows onto hotCenters(0)
+  @inline private def hotCenter(h: Long): (Double, Double) =
+    hotCenters(java.lang.Long.remainderUnsigned(splitmix64(h ^ 0xC1L), 5).toInt)
+
+  /** Derived longitude — primitive-returning so Catalyst codegen can call it
+    * as a static method inside the generated per-row loop (no UDF boxing on
+    * the headline 10¹²-row tile-assign path; see graft.sql.DeriveLon). */
+  def posLonOf(id: String): Double = {
     val h = idHash(id)
     val r1 = splitmix64(h); val r2 = splitmix64(r1)
-    def unit(r: Long): Double = (r >>> 11).toDouble / (1L << 53).toDouble // [0,1)
-    if (java.lang.Long.remainderUnsigned(h, 10) == 0) {
-      // center picked from an INDEPENDENT hash value: h%10==0 implies h%5==0,
-      // so using h itself would collapse all hot rows onto hotCenters(0)
-      val c = hotCenters(java.lang.Long.remainderUnsigned(splitmix64(h ^ 0xC1L), 5).toInt)
+    if (isHot(h)) hotCenter(h)._1 + (unit(r1) + unit(r2) - 1.0) * 0.02
+    else unit(r1) * 360.0 - 180.0
+  }
+
+  /** Derived latitude — see [[posLonOf]]. */
+  def posLatOf(id: String): Double = {
+    val h = idHash(id)
+    val r1 = splitmix64(h); val r2 = splitmix64(r1)
+    if (isHot(h)) {
       // sum of 4 uniforms ≈ gaussian; range ±0.02°, σ≈0.01°
       val r3 = splitmix64(r2); val r4 = splitmix64(r3)
-      val dx = (unit(r1) + unit(r2) - 1.0) * 0.02
-      val dy = (unit(r3) + unit(r4) - 1.0) * 0.02
-      (c._1 + dx, c._2 + dy)
-    } else {
-      (unit(r1) * 360.0 - 180.0, unit(r2) * 170.0 - 85.0)
-    }
+      hotCenter(h)._2 + (unit(r3) + unit(r4) - 1.0) * 0.02
+    } else unit(r2) * 170.0 - 85.0
   }
+
+  /** Derived position: rows with hash%10==0 cluster gaussian-ish (σ≈0.01°)
+    * around one of 5 hot centers; the rest are uniform. */
+  def posOf(id: String): (Double, Double) = (posLonOf(id), posLatOf(id))
 
   private val words = Array("ocean", "float", "drift", "grid", "tile", "swath",
     "buoy", "météo", "观测", "ätna", "salinity", "sst", "chlorophyll", "eddy")

@@ -32,17 +32,13 @@ object Images {
     cached.getOrElseUpdate((spark.sparkContext.applicationId, n),
       generate(spark, n).toDF().persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
-  /** lat/lon are derived, never stored (input_hint): append them. */
+  /** lat/lon are derived, never stored (input_hint): append them via the
+    * codegen'd [[graft.sql.DeriveLon]]/[[graft.sql.DeriveLat]] expressions —
+    * this is the headline tile-assign path, so it must stay inside
+    * WholeStageCodegen (a Scala UDF here boxes every row). */
   def withPosition(df: DataFrame): DataFrame =
-    df.withColumn("lon", call_udf_posLon(col("image_id")))
-      .withColumn("lat", call_udf_posLat(col("image_id")))
-
-  // registered once lazily; plain UDFs here are fine because posOf is a tiny
-  // pure function and this column feeds straight into codegen'd gh_encode
-  private lazy val posLonUdf = udf((id: String) => ImageGen.posOf(id)._1)
-  private lazy val posLatUdf = udf((id: String) => ImageGen.posOf(id)._2)
-  private def call_udf_posLon(c: org.apache.spark.sql.Column) = posLonUdf(c)
-  private def call_udf_posLat(c: org.apache.spark.sql.Column) = posLatUdf(c)
+    df.withColumn("lon", gf.derive_lon(col("image_id")))
+      .withColumn("lat", gf.derive_lat(col("image_id")))
 
   /** Tile-assign the image table: the headline 10¹²-row op. */
   def withTile(df: DataFrame, bits: Int): DataFrame =

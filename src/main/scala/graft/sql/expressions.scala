@@ -403,6 +403,47 @@ case class HexRing(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** derive_lon(image_id) → DOUBLE — deterministic position derivation for the
+  * image+caption table (BASELINE.json input_hint: lat/lon are NOT columns;
+  * they derive from image_id via FNV-1a + splitmix64, graft.data.ImageGen).
+  * A native expression (static call inside WholeStageCodegen) instead of a
+  * Scala UDF: this is the headline 10¹²-row tile-assign path, where UDF
+  * boxing/row-conversion would dominate. */
+case class DeriveLon(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "derive_lon"
+  override def nullSafeEval(id: Any): Any =
+    graft.data.ImageGen.posLonOf(id.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.data.ImageGen.posLonOf($s.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** derive_lat(image_id) → DOUBLE — see [[DeriveLon]]. */
+case class DeriveLat(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "derive_lat"
+  override def nullSafeEval(id: Any): Any =
+    graft.data.ImageGen.posLatOf(id.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.data.ImageGen.posLatOf($s.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** caption_of(image_id) → STRING — the deterministic expected caption of a
+  * generated row (graft.data.ImageGen.captionOf); the caption-equality
+  * invariant check (BASELINE.json input_hint) as a codegen'd expression. */
+case class CaptionOf(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "caption_of"
+  override def nullSafeEval(id: Any): Any =
+    UTF8String.fromString(graft.data.ImageGen.captionOf(id.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.data.ImageGen.captionOf($s.toString()))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** gh_covering(min_lon, min_lat, max_lon, max_lat, bits) → ARRAY<LONG> —
   * scalar form of the reference's bounding_boxes covering (#8); used to
   * build the broadcast side of box joins. Capped at 2^20 cells. */

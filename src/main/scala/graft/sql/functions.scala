@@ -73,6 +73,12 @@ object GraftFunctions {
       (e: Seq[Expression]) => { require(e.length == 1, "hex_neighbors(id)"); HexNeighbors(cL(e(0))) }),
     ("hex_ring", "hex_ring(id, k) - the 6k hexes at distance exactly k",
       (e: Seq[Expression]) => { require(e.length == 2, "hex_ring(id, k)"); HexRing(cL(e(0)), cI(e(1))) }),
+    ("derive_lon", "derive_lon(image_id) - deterministic derived longitude of a generated image row",
+      (e: Seq[Expression]) => { require(e.length == 1, "derive_lon(image_id)"); DeriveLon(cS(e(0))) }),
+    ("derive_lat", "derive_lat(image_id) - deterministic derived latitude of a generated image row",
+      (e: Seq[Expression]) => { require(e.length == 1, "derive_lat(image_id)"); DeriveLat(cS(e(0))) }),
+    ("caption_of", "caption_of(image_id) - expected caption of a generated image row",
+      (e: Seq[Expression]) => { require(e.length == 1, "caption_of(image_id)"); CaptionOf(cS(e(0))) }),
     ("gh_covering", "gh_covering(min_lon, min_lat, max_lon, max_lat, bits) - array of covering cells",
       (e: Seq[Expression]) => GhCoveringArray(e.take(4).map(cD) :+ cI(e(4)))),
     ("gh_covering_polygon", "gh_covering_polygon(wkt, bits) - cells intersecting a WKT polygon",
@@ -135,6 +141,9 @@ object functions {
   def hex_center(id: Column, size: Double): Column = call_function("hex_center", id, lit(size))
   def hex_neighbors(id: Column): Column = call_function("hex_neighbors", id)
   def hex_ring(id: Column, k: Int): Column = call_function("hex_ring", id, lit(k))
+  def derive_lon(imageId: Column): Column = call_function("derive_lon", imageId)
+  def derive_lat(imageId: Column): Column = call_function("derive_lat", imageId)
+  def caption_of(imageId: Column): Column = call_function("caption_of", imageId)
   def gh_covering(minLon: Column, minLat: Column, maxLon: Column, maxLat: Column, bits: Int): Column =
     call_function("gh_covering", minLon, minLat, maxLon, maxLat, lit(bits))
   def gh_covering_cells(minLon: Column, minLat: Column, maxLon: Column, maxLat: Column, bits: Int): Column =

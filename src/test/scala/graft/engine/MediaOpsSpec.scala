@@ -9,6 +9,25 @@ class MediaOpsSpec extends AnyFunSuite {
 
   lazy val imgs = Images.generate(spark, 60).toDF().cache()
 
+  test("derive_lon/derive_lat/caption_of expressions == ImageGen functions, no UDF in plan") {
+    val got = Images.withPosition(imgs)
+      .withColumn("cap2", graft.sql.functions.caption_of(org.apache.spark.sql.functions.col("image_id")))
+      .select("image_id", "lon", "lat", "cap2").collect()
+    got.foreach { r =>
+      val id = r.getString(0)
+      assert(r.getDouble(1) == ImageGen.posLonOf(id), s"lon mismatch for $id")
+      assert(r.getDouble(2) == ImageGen.posLatOf(id), s"lat mismatch for $id")
+      assert(r.getString(3) == ImageGen.captionOf(id))
+    }
+    // the headline path must stay inside WholeStageCodegen — no Scala UDF;
+    // codegen'd projects print with the "*(n)" stage prefix
+    val plan = Images.withTile(imgs, 30).queryExecution.executedPlan.toString
+    assert(!plan.contains("UDF"), plan)
+    val deriveLine = plan.linesIterator.find(_.contains("derive_lon")).get
+    assert(deriveLine.trim.stripPrefix("+- ").startsWith("*("),
+      s"derive_lon project not codegen'd: $deriveLine")
+  }
+
   test("decodeMeta: every generated image decodes to its declared dims") {
     val metas = MediaOps.decodeMeta(imgs).collect()
     assert(metas.length == 60)
