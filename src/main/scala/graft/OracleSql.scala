@@ -169,9 +169,12 @@ object OracleSql {
        | _sh AS (SELECT DISTINCT $idCol, sh FROM
        |   (SELECT $idCol, unnest(list_distinct(${shingles3Duck("w")})) AS sh FROM _w WHERE len(w) >= 3))""".stripMargin.replace("\n", " ")
 
-  /** Full MinHash+LSH near-dup pair query (TextOps.minhashLshPairs). */
+  /** Full MinHash+LSH near-dup pair query (TextOps.minhashLshPairs),
+    * including the band-bucket frequency cap (TextOps.BandBucketCap):
+    * bands are unpivoted to (id, band, key) rows exactly like the Spark
+    * side, oversized buckets are filtered out, candidates equi-join. */
   def minhashLshDuck(table: String, idCol: String, textCol: String,
-                     k: Int, bands: Int, threshold: Double): String = {
+                     k: Int, bands: Int, threshold: Double, bucketCap: Int): String = {
     val rows = k / bands
     val mins = (0 until k).map(i =>
       s"min(${graft.engine.TextOps.affineHashSql("_h", i)}) AS s$i").mkString(", ")
@@ -179,13 +182,19 @@ object OracleSql {
       (0 until rows).map(r => s"CAST(s${b * rows + r} AS VARCHAR)")
         .mkString("(", " || '_' || ", s") AS b$b")
     }.mkString(", ")
-    val bandOr = (0 until bands).map(b => s"a.b$b = b.b$b").mkString(" OR ")
+    val unpivot = (0 until bands).map(b =>
+      s"SELECT $idCol, $b AS band, b$b AS key FROM _b").mkString(" UNION ALL ")
     s"""${shingleCtes(table, idCol, textCol)},
        | _shh AS (SELECT $idCol, sh, ${hash60DuckSql("sh")} AS _h FROM _sh),
        | _sig AS (SELECT $idCol, $mins FROM _shh GROUP BY $idCol),
        | _b AS (SELECT $idCol, $bandExprs FROM _sig),
+       | _bands AS ($unpivot),
+       | _ok AS (SELECT band, key FROM _bands GROUP BY band, key HAVING count(*) <= $bucketCap),
+       | _okb AS (SELECT $idCol, _bands.band, _bands.key FROM _bands JOIN _ok
+       |          ON _bands.band = _ok.band AND _bands.key = _ok.key),
        | _cand AS (SELECT DISTINCT a.$idCol AS doc_a, b.$idCol AS doc_b
-       |           FROM _b a JOIN _b b ON a.$idCol < b.$idCol AND ($bandOr)),
+       |           FROM _okb a JOIN _okb b
+       |           ON a.band = b.band AND a.key = b.key AND a.$idCol < b.$idCol),
        | _cnt AS (SELECT $idCol, count(*) AS n FROM _sh GROUP BY $idCol),
        | _int AS (SELECT doc_a, doc_b, count(*) AS inter
        |          FROM _cand c JOIN _sh x ON x.$idCol = c.doc_a
@@ -236,18 +245,28 @@ object OracleSql {
        | SELECT qid, rnk, vec_id, cosine FROM _r WHERE rnk <= $k""".stripMargin.replace("\n", " ")
   }
 
-  /** Label-blocked near-dup pairs (AnnOps.blockedNearDup). */
+  /** Label-blocked near-dup pairs (AnnOps.blockedNearDup), including the
+    * oversized-block SRP sub-bucketing: the sub-bucket key is the same
+    * left-to-right sign-bit sum the Spark side computes, so the join keys
+    * agree bitwise. */
   def blockedNearDupDuck(table: String, idCol: String, embCol: String, labelCol: String,
-                         dim: Int, threshold: Double): String = {
+                         dim: Int, threshold: Double,
+                         subBlockCap: Int, subPlanes: Int): String = {
     val dot = (0 until dim).map(j =>
       s"CAST(a.$embCol[${j + 1}] AS DOUBLE) * CAST(b.$embCol[${j + 1}] AS DOUBLE)")
       .mkString("(", " + ", ")")
     def n2(t: String) = (0 until dim).map(j =>
       s"CAST($t.$embCol[${j + 1}] AS DOUBLE) * CAST($t.$embCol[${j + 1}] AS DOUBLE)")
       .mkString("(", " + ", ")")
-    s"""WITH _p AS (SELECT a.$idCol AS vec_a, b.$idCol AS vec_b,
+    val bucket = (0 until subPlanes).map { p =>
+      s"(CASE WHEN ${dotConstDuck(embCol, graft.engine.AnnOps.queryVec(100 + p, dim))} >= 0 THEN ${1L << p} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+    s"""WITH _n AS (SELECT $labelCol, count(*) AS _ln FROM $table GROUP BY $labelCol),
+       | _v AS (SELECT t.*, CASE WHEN _n._ln > $subBlockCap THEN $bucket ELSE -1 END AS _jb
+       |        FROM $table t JOIN _n ON t.$labelCol = _n.$labelCol),
+       | _p AS (SELECT a.$idCol AS vec_a, b.$idCol AS vec_b,
        |   $dot / (sqrt(${n2("a")}) * sqrt(${n2("b")})) AS cosine
-       | FROM $table a JOIN $table b ON a.$labelCol = b.$labelCol AND a.$idCol < b.$idCol)
+       | FROM _v a JOIN _v b ON a.$labelCol = b.$labelCol AND a._jb = b._jb AND a.$idCol < b.$idCol)
        | SELECT vec_a, vec_b, cosine FROM _p WHERE cosine >= $threshold""".stripMargin.replace("\n", " ")
   }
 }

@@ -467,7 +467,7 @@ object SparkEntry {
       "q32_minhash_lsh" ->
         minhashLshDuck("documents", "doc_id", "text",
           graft.engine.TextOps.MinhashK, graft.engine.TextOps.Bands,
-          graft.engine.TextOps.JaccardThreshold),
+          graft.engine.TextOps.JaccardThreshold, graft.engine.TextOps.BandBucketCap),
       "q33_simhash" -> simhashDuck("documents", "doc_id", "text"),
       "q35_lang_id" -> {
         val langs = graft.engine.TextOps.langMarkers
@@ -510,7 +510,8 @@ object SparkEntry {
           | AS n_bpeish FROM documents""".stripMargin.replace("\n", " "),
       "q34_ann_topk" -> annBruteDuck("embeddings", "vec_id", "embedding", 64, 3, 10),
       "q39_embed_neardup" ->
-        blockedNearDupDuck("embeddings", "vec_id", "embedding", "label", 64, 0.45),
+        blockedNearDupDuck("embeddings", "vec_id", "embedding", "label", 64, 0.45,
+          graft.engine.AnnOps.SubBlockCap, graft.engine.AnnOps.SubPlanes),
       "q23_box_coarse" -> { // cell-coarse reference parity: tile IN covering
         val cells = Geohash.covering(londonBox.minLon, londonBox.minLat,
           londonBox.maxLon, londonBox.maxLat, 20)

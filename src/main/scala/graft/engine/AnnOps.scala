@@ -34,11 +34,26 @@ object AnnOps {
   def norm2(embCol: String, dim: Int): Column =
     aggregate(col(embCol).cast("array<double>"), lit(0.0), (acc, x) => acc + x * x)
 
+  /** Rank the per-query branches: each branch is cut to its exact top-k by
+    * (cosine desc, id asc) BEFORE the union, which Spark plans as
+    * TakeOrderedAndProject — a per-partition bounded heap + merge, never a
+    * full shuffle of all rows×queries into per-qid sort partitions (the
+    * global-window formulation puts the whole table in one partition per
+    * query at 100 TB). The final row_number window then runs over ≤
+    * nQueries·k survivor rows. */
+  private def rankTopK(perQuery: Seq[DataFrame], k: Int): DataFrame = {
+    val topped = perQuery.map(_.orderBy(col("cosine").desc, col("vec_id").asc).limit(k))
+    val all = topped.reduce(_ unionAll _)
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id").asc)
+    all.withColumn("rnk", row_number().over(w).cast("bigint"))
+      .where(col("rnk") <= k)
+      .select("qid", "rnk", "vec_id", "cosine")
+  }
+
   /** Brute-force exact top-k by cosine for nQueries fixed query vectors.
     * Output (qid, rnk, vec_id, cosine). Scale note: this is the baseline /
-    * rerank primitive — a full scan per query batch with a top-k window;
-    * the scan is shared across queries (queries are literals in one pass).
-    */
+    * rerank primitive — a full scan per query batch with a distributed
+    * bounded-heap top-k (see [[rankTopK]]). */
   def annBrute(emb: DataFrame, idCol: String, embCol: String,
                dim: Int, nQueries: Int, k: Int): DataFrame = {
     // hoist the row norm out of the per-query branches: one sqrt per row
@@ -49,11 +64,7 @@ object AnnOps {
       val cos = (dotConst(embCol, qv) / (col("_n") * lit(qn))).as("cosine")
       withNorm.select(lit(q).as("qid"), col(idCol).as("vec_id"), cos)
     }
-    val all = perQuery.reduce(_ unionAll _)
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id").asc)
-    all.withColumn("rnk", row_number().over(w).cast("bigint"))
-      .where(col("rnk") <= k)
-      .select("qid", "rnk", "vec_id", "cosine")
+    rankTopK(perQuery, k)
   }
 
   /** Sign-random-projection LSH bucket id (nPlanes fixed deterministic
@@ -84,28 +95,43 @@ object AnnOps {
       bucketed.where(col("_bucket") === qBucket)
         .select(lit(q).as("qid"), col(idCol).as("vec_id"), cos)
     }
-    val all = perQuery.reduce(_ unionAll _)
-    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("vec_id").asc)
-    all.withColumn("rnk", row_number().over(w).cast("bigint"))
-      .where(col("rnk") <= k)
-      .select("qid", "rnk", "vec_id", "cosine")
+    rankTopK(perQuery, k)
   }
+
+  /** A label block bigger than this gets SUB-BUCKETED by SRP sign bits: one
+    * hot label at 100 TB would otherwise make the within-block pair join
+    * O(n²). Blocks at or under the cap keep exact all-pairs semantics; the
+    * oracle SQL reproduces the same branch. */
+  val SubBlockCap = 100
+  val SubPlanes = 8
 
   /** Embedding near-duplicate pairs, label-blocked (compare only within the
     * same `label` block — the blocking pattern that avoids O(n²) at scale).
+    * Oversized blocks (> subBlockCap rows) are further split by SRP bucket
+    * ([[srpBucket]]), trading recall on merely-similar pairs for bounded
+    * candidate counts — true near-dups agree on sign bits with high
+    * probability. The sub-bucket is part of the JOIN KEY (not a post-join
+    * filter), so the quadratic blow-up never materializes.
     * Output (vec_a, vec_b, cosine ≥ threshold). */
   def blockedNearDup(emb: DataFrame, idCol: String, embCol: String, labelCol: String,
-                     dim: Int, threshold: Double): DataFrame = {
+                     dim: Int, threshold: Double,
+                     subBlockCap: Int = SubBlockCap, subPlanes: Int = SubPlanes): DataFrame = {
+    val cnt = emb.groupBy(col(labelCol)).agg(count(lit(1)).as("_ln"))
+    val keyed = emb.join(cnt, labelCol) // AQE broadcasts the tiny count side
+      .withColumn("_jb", when(col("_ln") > subBlockCap,
+        srpBucket(embCol, dim, subPlanes)).otherwise(lit(-1L)))
     // norms computed once per ROW (not per pair): sqrt hoisted above the join
-    val a = emb.select(col(labelCol).as("_l"), col(idCol).as("vec_a"), col(embCol).as("_ea"))
+    val a = keyed.select(col(labelCol).as("_l"), col("_jb"),
+        col(idCol).as("vec_a"), col(embCol).as("_ea"))
       .withColumn("_na", sqrt(norm2("_ea", dim)))
-    val b = emb.select(col(labelCol).as("_l"), col(idCol).as("vec_b"), col(embCol).as("_eb"))
+    val b = keyed.select(col(labelCol).as("_l"), col("_jb"),
+        col(idCol).as("vec_b"), col(embCol).as("_eb"))
       .withColumn("_nb", sqrt(norm2("_eb", dim)))
     val dot = aggregate(
       zip_with(col("_ea").cast("array<double>"), col("_eb").cast("array<double>"), (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
     val cos = dot / (col("_na") * col("_nb"))
-    a.join(b, Seq("_l")).where(col("vec_a") < col("vec_b"))
+    a.join(b, Seq("_l", "_jb")).where(col("vec_a") < col("vec_b"))
       .withColumn("cosine", cos)
       .where(col("cosine") >= threshold)
       .select("vec_a", "vec_b", "cosine")

@@ -13,6 +13,13 @@ object TextOps {
   val MinhashK = 16   // signature length
   val Bands = 4       // LSH bands of 4 rows each
   val JaccardThreshold = 0.8
+  /** Band-bucket size cap: a band key shared by more than this many docs is
+    * boilerplate (e.g. a fixed header shingled into every page), not a
+    * near-dup signal, and would make the candidate join quadratic in that
+    * bucket at 100 TB. Oversized buckets are EXCLUDED from candidate
+    * generation (documented overflow: exact duplicates are the exact-dedup
+    * op's job, q30). The oracle SQL reproduces the same cap. */
+  val BandBucketCap = 50
 
   /** Whitespace tokens, empties dropped (trim + split — the exact same
     * semantics as the oracle's string_split_regex). */
@@ -53,14 +60,13 @@ object TextOps {
     base.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
-  /** MinHash + LSH near-duplicate pairs with exact-jaccard verification.
-    * Scale path: signatures explode into (band_idx, band_key) rows and
-    * candidates come from an equi-join on the band key — a plain shuffle
-    * hash join, no O(n²) compare. Exact jaccard then filters candidates.
-    * Output: (doc_a, doc_b, inter, n_a, n_b, jaccard). */
-  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-                      threshold: Double = JaccardThreshold): DataFrame = {
-    val sh = shingleSet(docs, idCol, textCol).cache()
+  /** LSH candidate pairs (doc_a, doc_b) from banded minhash signatures of a
+    * shingle-set DataFrame, with the [[BandBucketCap]] frequency guard:
+    * band-key frequencies are counted first and oversized buckets never
+    * enter the pair join, so candidate generation stays O(cap²) per bucket
+    * instead of quadratic in a degenerate corpus. */
+  def lshCandidates(sh: DataFrame, idCol: String,
+                    bucketCap: Int = BandBucketCap): DataFrame = {
     val sig = minhashSignatures(sh, idCol)
     val rowsPerBand = MinhashK / Bands
     val bandKey = (b: Int) => concat_ws("_",
@@ -69,11 +75,30 @@ object TextOps {
       explode(array((0 until Bands).map(b =>
         struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-    val cand = bands.as("a").join(bands.as("b"),
+    // frequency guard: partial+final count agg (map-side combine), then only
+    // keys at sane frequencies join — the hot key appears ONCE in okKeys so
+    // the guard join itself cannot skew
+    val okKeys = bands.groupBy("band", "key").agg(count(lit(1)).as("_bf"))
+      .where(col("_bf") <= bucketCap).select("band", "key")
+    val okBands = bands.join(okKeys, Seq("band", "key"))
+    okBands.as("a").join(okBands.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col(s"a.$idCol") < col(s"b.$idCol"))
       .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
       .distinct()
+  }
+
+  /** MinHash + LSH near-duplicate pairs with exact-jaccard verification.
+    * Scale path: signatures explode into (band_idx, band_key) rows and
+    * candidates come from an equi-join on the band key — a plain shuffle
+    * hash join, no O(n²) compare (see [[lshCandidates]] for the bucket-size
+    * guard). Exact jaccard then filters candidates.
+    * Output: (doc_a, doc_b, inter, n_a, n_b, jaccard). */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      threshold: Double = JaccardThreshold,
+                      bucketCap: Int = BandBucketCap): DataFrame = {
+    val sh = shingleSet(docs, idCol, textCol).cache()
+    val cand = lshCandidates(sh, idCol, bucketCap)
     val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("x"), col("doc_a") === col(s"x.$idCol"))

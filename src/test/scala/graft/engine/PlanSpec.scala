@@ -128,6 +128,18 @@ class PlanSpec extends AnyFunSuite {
            planStr.contains("PartitionFilters: [cast(tile_p"), planStr)
   }
 
+  test("annBrute: top-k is a distributed bounded heap, not a global-window sort") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val df = AnnOps.annBrute(emb, "vec_id", "embedding", 64, 2, 5)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("TakeOrderedAndProject"), planStr)
+    // the only Window left runs over the tiny union of per-branch top-k rows
+    val windowIdx = planStr.indexOf("Window")
+    val takeIdx = planStr.indexOf("TakeOrderedAndProject")
+    assert(windowIdx >= 0 && takeIdx > windowIdx,
+      "window must sit ABOVE the TakeOrderedAndProject branches")
+  }
+
   test("per-tile agg is a partial+final hash aggregate (map-side combine)") {
     val pts = SpatialOps.withDerivedPosition(
       spark.read.parquet(s"$sf/customer.parquet").select("c_custkey"), "c_custkey")

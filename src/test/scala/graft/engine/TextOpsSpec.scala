@@ -42,6 +42,53 @@ class TextOpsSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall $recall (${got.size}/${truth.size})")
   }
 
+  test("LSH band-bucket cap: a planted boilerplate bucket stays bounded") {
+    import spark.implicits._
+    // 300 identical boilerplate docs (one giant band bucket: 300²/2 ≈ 45k
+    // candidate pairs without the cap) + 2 genuine near-dups
+    val boiler = (0L until 300L).map(i =>
+      (i, "the same boilerplate header text repeated on every page of the site"))
+    val nearDup = Seq(
+      (1000L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1001L, "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"))
+    val docs = (boiler ++ nearDup).toDF("doc_id", "text")
+    val sh = TextOps.shingleSet(docs, "doc_id", "text")
+    val cands = TextOps.lshCandidates(sh, "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    // the boilerplate bucket (size 300 > cap) is excluded; only the real
+    // near-dup pair survives candidate generation
+    assert(cands.length <= 4, s"candidates not bounded: ${cands.length}")
+    assert(cands.contains((1000L, 1001L)), s"near-dup pair lost: ${cands.toSeq}")
+    val pairs = TextOps.minhashLshPairs(docs, "doc_id", "text").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).contains((1000L, 1001L)))
+    // and WITHOUT the cap the bucket explodes — proves the guard is live
+    val uncapped = TextOps.lshCandidates(sh, "doc_id", bucketCap = 1 << 20).count()
+    assert(uncapped > 40000L, s"uncapped candidate count unexpectedly small: $uncapped")
+  }
+
+  test("blockedNearDup: oversized label block is SRP-sub-bucketed, pairs still found") {
+    import spark.implicits._
+    val dim = 8
+    val rnd = new scala.util.Random(11)
+    // one hot label with 150 rows (> SubBlockCap=100), incl. two identical
+    // vectors; one small label with two near-dups (all-pairs path)
+    def vec(): Seq[Float] = Seq.fill(dim)(rnd.nextFloat() * 2 - 1)
+    val dup = vec()
+    val hot = (0L until 148L).map(i => (i, vec(), 0)) ++
+      Seq((900L, dup, 0), (901L, dup, 0))
+    val small = Seq((950L, dup, 1), (951L, dup.updated(0, dup.head + 1e-4f), 1))
+    val emb = (hot ++ small).toDF("vec_id", "embedding", "label")
+    val got = AnnOps.blockedNearDup(emb, "vec_id", "embedding", "label", dim, 0.999)
+      .select("vec_a", "vec_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical vectors share every SRP sign bit → found despite sub-bucketing
+    assert(got.contains((900L, 901L)), s"hot-block identical pair lost: $got")
+    assert(got.contains((950L, 951L)), s"small-block pair lost: $got")
+    // sub-bucketing is live: hot-label join keys are spread over >1 bucket
+    val buckets = emb.where($"label" === 0)
+      .select(AnnOps.srpBucket("embedding", dim, AnnOps.SubPlanes)).distinct().count()
+    assert(buckets > 4, s"SRP bucketing degenerate: $buckets buckets")
+  }
+
   test("simhash: near-dup pairs have small hamming distance, random pairs large") {
     val sim = TextOps.simhash60(
         spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
