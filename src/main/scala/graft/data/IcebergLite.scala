@@ -11,24 +11,44 @@ import org.apache.spark.sql.functions._
   * per-partition row counts and content checksums. Gives the pieces the
   * north_rule asks for without the dependency:
   *
-  *  - snapshot isolation-ish reads: readers take the partition list from the
-  *    last committed manifest, so partially-written partitions from a crash
-  *    are invisible;
+  *  - FILE-LEVEL appends: every snapshot writes its data files under its own
+  *    `data/snapid=<id>/` directory, so `extend` ADDS files and never
+  *    rewrites an existing partition (at 100 TB an append that re-reads and
+  *    rewrites a whole partition is a non-starter). A partition's content is
+  *    the union of all committed (snapshot, partition) pairs;
+  *  - snapshot-isolated reads: readers build the visible (snapshot,
+  *    partition) set from the last committed manifest, so files from a
+  *    crashed or in-flight write are invisible, and an older manifest still
+  *    describes a fully consistent older table (time travel);
   *  - resumable writes: a restarted job diffs the manifest against its input
   *    partitions and (re)writes only the missing ones, using dynamic
-  *    partition overwrite so a partially-written partition is replaced, not
-  *    doubled;
+  *    partition overwrite inside its own snapshot dir so a partially-written
+  *    partition is replaced, not doubled;
   *  - per-partition lineage + metrics: every snapshot records
-  *    (partition, rows, checksum, snapshot that introduced it).
+  *    (partition, rows, checksum, snapshot that introduced it);
+  *  - table properties in the manifest header (tile precision, lon/lat
+  *    column names) drive the [[graft.sql.DeriveCoveringPrune]] optimizer
+  *    rule: a bare box / point-in-polygon filter over a manifest-backed
+  *    table is rewritten into a partition-prefix IN-list automatically.
   *
   * Checksums are order-independent (bit_xor of xxhash64 over all columns), so
-  * they are stable across parallelism levels — the resume test asserts
-  * byte-equivalent content, not file layout.
+  * they are stable across parallelism levels; a partition touched by several
+  * snapshots has one manifest entry per snapshot and its cumulative checksum
+  * is the XOR of the entries (bit_xor is associative).
+  *
+  * The `snapid` directory column name is reserved; user schemas must not
+  * contain it.
   */
 object IcebergLite {
   final case class PartitionEntry(partition: String, rows: Long, checksum: Long, snapshotId: Long)
   final case class Manifest(snapshotId: Long, parentSnapshotId: Long,
-                            partitionCol: String, entries: Seq[PartitionEntry])
+                            partitionCol: String, properties: Map[String, String],
+                            entries: Seq[PartitionEntry])
+
+  /** Property keys consumed by the optimizer rule. */
+  val PropPrefixBits = "tile.prefix.bits"
+  val PropLonCol = "tile.lon.col"
+  val PropLatCol = "tile.lat.col"
 
   private def manifestDir(table: String) = Paths.get(table, "_manifests")
   private def currentPtr(table: String) = Paths.get(table, "_manifests", "CURRENT")
@@ -37,19 +57,33 @@ object IcebergLite {
     val ptr = currentPtr(table)
     if (!Files.exists(ptr)) return None
     val snap = Files.readString(ptr).trim.toLong
-    val lines = Files.readAllLines(manifestDir(table).resolve(s"snap-$snap.tsv")).asScala.toSeq
-    val header = lines.head.split("\t") // snapshotId parentSnapshotId partitionCol
+    readSnapshot(table, snap)
+  }
+
+  /** Any committed snapshot by id (time travel). */
+  def readSnapshot(table: String, snap: Long): Option[Manifest] = {
+    val p = manifestDir(table).resolve(s"snap-$snap.tsv")
+    if (!Files.exists(p)) return None
+    val lines = Files.readAllLines(p).asScala.toSeq
+    val header = lines.head.split("\t", -1) // id parentId partitionCol props
+    val props =
+      if (header.length < 4 || header(3).isEmpty) Map.empty[String, String]
+      else header(3).split(";").map { kv =>
+        val Array(k, v) = kv.split("=", 2); k -> v
+      }.toMap
     val entries = lines.tail.map { l =>
       val f = l.split("\t")
       PartitionEntry(f(0), f(1).toLong, f(2).toLong, f(3).toLong)
     }
-    Some(Manifest(header(0).toLong, header(1).toLong, header(2), entries))
+    Some(Manifest(header(0).toLong, header(1).toLong, header(2), props, entries))
   }
 
   private def commitManifest(table: String, m: Manifest): Unit = {
     Files.createDirectories(manifestDir(table))
-    val body = (s"${m.snapshotId}\t${m.parentSnapshotId}\t${m.partitionCol}" +:
-      m.entries.sortBy(_.partition).map(e => s"${e.partition}\t${e.rows}\t${e.checksum}\t${e.snapshotId}"))
+    val props = m.properties.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString(";")
+    val body = (s"${m.snapshotId}\t${m.parentSnapshotId}\t${m.partitionCol}\t$props" +:
+      m.entries.sortBy(e => (e.partition, e.snapshotId))
+        .map(e => s"${e.partition}\t${e.rows}\t${e.checksum}\t${e.snapshotId}"))
       .mkString("\n")
     val tmp = manifestDir(table).resolve(s".snap-${m.snapshotId}.tsv.tmp")
     Files.writeString(tmp, body)
@@ -61,24 +95,42 @@ object IcebergLite {
       StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING) // atomic commit
   }
 
-  /** Per-partition (rows, checksum) of a DataFrame. */
+  /** Per-partition (rows, checksum) of a DataFrame. Collects ONE row per
+    * partition to the driver — bounded by partition count, guarded. */
   private def stats(df: DataFrame, partitionCol: String): Map[String, (Long, Long)] = {
     val dataCols = df.columns.filter(_ != partitionCol).map(col).toSeq
-    df.groupBy(col(partitionCol).cast("string"))
+    val rows = df.groupBy(col(partitionCol).cast("string"))
       .agg(count(lit(1)).as("rows"), bit_xor(xxhash64(dataCols: _*)).as("chk"))
       .collect()
-      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
-      .toMap
+    require(rows.length <= (1 << 20),
+      s"${rows.length} partitions exceed the manifest guard (2^20); use a coarser prefix")
+    rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+  }
+
+  private def snapDir(table: String, snapshotId: Long) = s"$table/data/snapid=$snapshotId"
+
+  private def writeSnapshotFiles(df: DataFrame, table: String, partitionCol: String,
+                                 snapshotId: Long, partitions: Seq[String]): Unit = {
+    val spark = df.sparkSession
+    // dynamic overwrite INSIDE the new snapshot dir: a re-attempt after a
+    // crash (same snapshot id) replaces its own partial files and never
+    // touches a committed snapshot's files
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.where(col(partitionCol).cast("string").isin(partitions: _*))
+      .write.mode("overwrite")
+      .partitionBy(partitionCol)
+      .parquet(snapDir(table, snapshotId))
   }
 
   /** Write (or resume writing) `df` partitioned by `partitionCol`.
     * Returns the committed manifest. Idempotent: rerunning after any crash
     * converges to the same committed state. `failAfterPartitions` injects a
     * crash for the resume test (kills the job after K partitions committed).
-    */
+    * `properties` become table properties in the manifest header (see
+    * [[writeTiled]] for the tile-aware convenience form). */
   def write(df: DataFrame, table: String, partitionCol: String,
-            failAfterPartitions: Int = Int.MaxValue): Manifest = {
-    val spark = df.sparkSession
+            failAfterPartitions: Int = Int.MaxValue,
+            properties: Map[String, String] = Map.empty): Manifest = {
     val prior = readManifest(table)
     val done = prior.map(_.entries.map(_.partition).toSet).getOrElse(Set.empty)
     val snapshotId = prior.map(_.snapshotId + 1).getOrElse(0L)
@@ -89,15 +141,11 @@ object IcebergLite {
     if (injected) todo = todo.take(failAfterPartitions)
     if (todo.isEmpty) return prior.get
 
-    val part = col(partitionCol).cast("string")
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.where(part.isin(todo: _*))
-      .write.mode("overwrite")
-      .partitionBy(partitionCol)
-      .parquet(s"$table/data")
+    writeSnapshotFiles(df, table, partitionCol, snapshotId, todo)
 
     val newEntries = todo.map(p => PartitionEntry(p, all(p)._1, all(p)._2, snapshotId))
     val m = Manifest(snapshotId, prior.map(_.snapshotId).getOrElse(-1L), partitionCol,
+      prior.map(_.properties).getOrElse(Map.empty) ++ properties,
       prior.map(_.entries).getOrElse(Nil) ++ newEntries)
     commitManifest(table, m)
     if (injected) throw new RuntimeException(
@@ -105,56 +153,76 @@ object IcebergLite {
     m
   }
 
+  /** Tile-aware write: assigns `tile` (at tileBits) and the partition prefix
+    * column (at prefixBits) from lon/lat, records the tiling as table
+    * properties so [[graft.sql.DeriveCoveringPrune]] can rewrite box/PIP
+    * filters into partition predicates. */
+  def writeTiled(df: DataFrame, table: String, lonCol: String, latCol: String,
+                 tileBits: Int, prefixBits: Int,
+                 prefixCol: String = "tile_p"): Manifest = {
+    val tiled = df
+      .withColumn("tile", graft.sql.functions.gh_encode(col(lonCol), col(latCol), tileBits))
+      .withColumn(prefixCol, graft.sql.functions.gh_parent(col("tile"), tileBits, prefixBits))
+    write(tiled, table, prefixCol, properties = Map(
+      PropPrefixBits -> prefixBits.toString, PropLonCol -> lonCol, PropLatCol -> latCol))
+  }
+
   /** Reference `GeoHash.update` (SURVEY.md §3.2 #16): REPLACE the contents
     * of every partition present in `df` (other partitions untouched), as a
-    * new snapshot. */
+    * new snapshot. Old files are not deleted — they stay reachable through
+    * the parent manifest (snapshot isolation) and merely invisible here. */
   def update(df: DataFrame, table: String, partitionCol: String): Manifest = {
-    val spark = df.sparkSession
     val prior = readManifest(table).getOrElse(
       throw new IllegalStateException(s"update on uninitialized table $table"))
     val snapshotId = prior.snapshotId + 1
     val incoming = stats(df, partitionCol)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df.write.mode("overwrite").partitionBy(partitionCol).parquet(s"$table/data")
+    writeSnapshotFiles(df, table, partitionCol, snapshotId, incoming.keys.toSeq)
     val kept = prior.entries.filterNot(e => incoming.contains(e.partition))
-    val m = Manifest(snapshotId, prior.snapshotId, partitionCol,
+    val m = Manifest(snapshotId, prior.snapshotId, partitionCol, prior.properties,
       kept ++ incoming.map { case (p, (r, c)) => PartitionEntry(p, r, c, snapshotId) })
     commitManifest(table, m)
     m
   }
 
   /** Reference `GeoHash.extend` (#17): APPEND rows to their partitions.
-    * Implemented as read-union-overwrite of only the touched partitions, so
-    * the commit stays atomic at partition granularity and a crashed extend
-    * is invisible until its manifest lands. */
+    * FILE-LEVEL: the batch lands as new files under the new snapshot's own
+    * directory and the manifest gains one entry per touched partition; no
+    * existing file is read or rewritten, which is the only append shape that
+    * works at 100 TB. */
   def extend(df: DataFrame, table: String, partitionCol: String): Manifest = {
-    val spark = df.sparkSession
     val prior = readManifest(table).getOrElse(
       throw new IllegalStateException(s"extend on uninitialized table $table"))
-    val touched = stats(df, partitionCol).keySet
-    val existingTouched = read(spark, table)
-      .where(col(partitionCol).cast("string").isin(touched.toSeq: _*))
-      .select(df.columns.map(col): _*)
-    // localCheckpoint: materialize before overwriting the files being read
-    // (at real scale this is a file-level append; partition rewrite is the
-    // partition-granularity emulation)
-    update(existingTouched.unionAll(df).localCheckpoint(true), table, partitionCol)
+    val snapshotId = prior.snapshotId + 1
+    val incoming = stats(df, partitionCol)
+    writeSnapshotFiles(df, table, partitionCol, snapshotId, incoming.keys.toSeq)
+    val m = Manifest(snapshotId, prior.snapshotId, partitionCol, prior.properties,
+      prior.entries ++ incoming.map { case (p, (r, c)) => PartitionEntry(p, r, c, snapshotId) })
+    commitManifest(table, m)
+    m
   }
 
-  /** Read through the manifest: only committed partitions are visible. */
-  def read(spark: SparkSession, table: String): DataFrame = {
-    val m = readManifest(table).getOrElse(
-      throw new IllegalStateException(s"no committed snapshot at $table"))
-    val committed = m.entries.map(_.partition)
-    spark.read.parquet(s"$table/data")
-      .where(col(m.partitionCol).cast("string").isin(committed: _*))
+  /** Read through a manifest: only committed (snapshot, partition) pairs are
+    * visible. The visibility predicate references only directory-partition
+    * columns, so it prunes at file-listing time. */
+  def read(spark: SparkSession, table: String, asOfSnapshot: Long = -1L): DataFrame = {
+    val m = (if (asOfSnapshot >= 0) readSnapshot(table, asOfSnapshot) else readManifest(table))
+      .getOrElse(throw new IllegalStateException(s"no committed snapshot at $table"))
+    val visible = m.entries.groupBy(_.snapshotId).toSeq.map { case (sid, es) =>
+      col("snapid") === sid &&
+        col(m.partitionCol).cast("string").isin(es.map(_.partition).distinct: _*)
+    }.reduce(_ || _)
+    spark.read.parquet(s"$table/data").where(visible).drop("snapid")
   }
+
+  /** Total committed rows per partition (summing across snapshots). */
+  def rowsByPartition(m: Manifest): Map[String, Long] =
+    m.entries.groupBy(_.partition).map { case (p, es) => p -> es.map(_.rows).sum }
 
   /** Per-tile metrics/lineage emission (north_rule): one JSON line per
-    * partition with rows, checksum and introducing snapshot. */
+    * manifest entry with rows, checksum and introducing snapshot. */
   def lineageJson(table: String): Seq[String] = {
     val m = readManifest(table).getOrElse(return Nil)
-    m.entries.sortBy(_.partition).map(e =>
+    m.entries.sortBy(e => (e.partition, e.snapshotId)).map(e =>
       s"""{"table":"$table","partition":"${e.partition}","rows":${e.rows},"checksum":${e.checksum},"snapshot":${e.snapshotId}}""")
   }
 }

@@ -206,8 +206,8 @@ object SpatialOps {
                  qLon: Double, qLat: Double, k: Int, tieCol: String): DataFrame = {
     val manifest = graft.data.IcebergLite.readManifest(table).getOrElse(
       throw new IllegalStateException(s"no committed snapshot at $table"))
-    val rowsByPartition: Map[String, Long] =
-      manifest.entries.map(e => e.partition -> e.rows).toMap
+    // sum across snapshots: appended partitions have one entry per snapshot
+    val rowsByPartition: Map[String, Long] = graft.data.IcebergLite.rowsByPartition(manifest)
     def scan(cells: Seq[Long]): DataFrame =
       graft.data.IcebergLite.read(spark, table)
         .where(col(prefixCol).isin(cells: _*))

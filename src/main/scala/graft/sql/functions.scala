@@ -101,6 +101,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.all.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => DerivePipBBox)
+    ext.injectOptimizerRule(_ => DeriveCoveringPrune)
   }
 }
 

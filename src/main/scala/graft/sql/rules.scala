@@ -3,9 +3,11 @@ package graft.sql
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.core.GeoMath
+import graft.core.{GeoMath, Geohash}
 
 /** Predicate DERIVATION (SURVEY.md §5): Catalyst pushes filters it is
   * given, but cannot invent them. A point-in-polygon test with a literal
@@ -41,6 +43,134 @@ object DerivePipBBox extends Rule[LogicalPlan] {
       val fresh = derived.filterNot(d => existing.exists(_.semanticEquals(d)))
       if (fresh.isEmpty) f
       else Filter(fresh.foldLeft(cond)(And(_, _)), child)
+  }
+
+  private def splitConjuncts(e: Expression): Seq[Expression] = e match {
+    case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)
+    case other => Seq(other)
+  }
+}
+
+/** Covering → partition-predicate derivation (SURVEY.md §5, round-2 roadmap
+  * #3): a box or point-in-polygon filter over an IcebergLite table whose
+  * manifest records its tiling (prefix bits + lon/lat column names,
+  * [[graft.data.IcebergLite.writeTiled]]) implies `prefix_col IN
+  * (covering cells)` — a predicate over the DIRECTORY PARTITION column that
+  * prunes at file-listing time, turning a 100 TB scan into the handful of
+  * partitions the box touches. Catalyst pushes predicates it is given but
+  * cannot invent this one: the covering is geohash lattice math, not
+  * algebra over the filter's expressions.
+  *
+  * Fires on Filter directly over a parquet LogicalRelation (the optimizer's
+  * own pushdown/combine rules in the same fixed-point batch bring user
+  * filters into that shape). Bounds are taken from TOP-LEVEL CONJUNCTS
+  * only — range predicates on the recorded lon/lat columns and/or a
+  * foldable-WKT [[StContainsWkt]] (whose polygon bbox bounds the box).
+  * Anti-meridian boxes arrive as OR-disjunctions and are left alone.
+  * Idempotent: skips when an IN on the prefix column is already present.
+  */
+object DeriveCoveringPrune extends Rule[LogicalPlan] {
+  /** Plan-size guard for the IN-list. */
+  val MaxInCells = 4096
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transform {
+    case f @ Filter(cond, l: LogicalRelation) =>
+      manifestFor(l) match {
+        case Some((m, bits)) =>
+          val conjuncts = splitConjuncts(cond)
+          (for {
+            lonName <- m.properties.get(graft.data.IcebergLite.PropLonCol)
+            latName <- m.properties.get(graft.data.IcebergLite.PropLatCol)
+            lonAttr <- attrOf(l, lonName)
+            latAttr <- attrOf(l, latName)
+            prefixAttr <- attrOf(l, m.partitionCol)
+            if !conjuncts.exists { // already derived (fixed-point idempotency)
+              case In(a: AttributeReference, _) => a.semanticEquals(prefixAttr)
+              case InSet(a: AttributeReference, _) => a.semanticEquals(prefixAttr)
+              case _ => false
+            }
+            box <- boundsOf(conjuncts, lonAttr, latAttr)
+            // size pre-check: a huge covering is a plan-bloat, not a prune
+            (_, cx, cy) = Geohash.gridProperties(box._1, box._2, box._3, box._4, bits)
+            if cx * cy <= MaxInCells
+            cells = Geohash.covering(box._1, box._2, box._3, box._4, bits, MaxInCells)
+            inList = In(prefixAttr, cells.toSeq.map(cellLiteral(_, prefixAttr))).asInstanceOf[Expression]
+          } yield Filter(And(cond, inList), l)).getOrElse(f)
+        case None => f
+      }
+  }
+
+  private def attrOf(l: LogicalRelation, name: String): Option[AttributeReference] =
+    l.output.collectFirst { case a: AttributeReference if a.name == name => a }
+
+  private def cellLiteral(cell: Long, attr: AttributeReference): Expression = attr.dataType match {
+    case LongType => Literal(cell)
+    case IntegerType => Literal(cell.toInt)
+    case StringType => Literal(cell.toString)
+    case other => Cast(Literal(cell), other)
+  }
+
+  /** The IcebergLite manifest backing this parquet relation, if its
+    * properties record a tiling. Root path is `<table>/data`. */
+  private def manifestFor(l: LogicalRelation) = l.relation match {
+    case fs: HadoopFsRelation =>
+      fs.location.rootPaths.headOption
+        .map(_.toUri.getPath)
+        .filter(_.endsWith("/data"))
+        .flatMap(p => graft.data.IcebergLite.readManifest(p.stripSuffix("/data")))
+        .flatMap(m => m.properties.get(graft.data.IcebergLite.PropPrefixBits)
+          .map(b => (m, b.toInt)))
+    case _ => None
+  }
+
+  /** (minLon, minLat, maxLon, maxLat) implied by the conjuncts: explicit
+    * range predicates on lon/lat, or the bbox of a literal PIP polygon.
+    * All four bounds must be present (an unbounded side has no finite
+    * covering). */
+  private def boundsOf(conjuncts: Seq[Expression],
+                       lon: AttributeReference, lat: AttributeReference):
+      Option[(Double, Double, Double, Double)] = {
+    var minLon, minLat = Double.NaN
+    var maxLon, maxLat = Double.NaN
+    def upd(attr: Expression, lo: Option[Double], hi: Option[Double]): Unit = attr match {
+      case a: AttributeReference if a.semanticEquals(lon) =>
+        lo.foreach(v => if (minLon.isNaN || v > minLon) minLon = v)
+        hi.foreach(v => if (maxLon.isNaN || v < maxLon) maxLon = v)
+      case a: AttributeReference if a.semanticEquals(lat) =>
+        lo.foreach(v => if (minLat.isNaN || v > minLat) minLat = v)
+        hi.foreach(v => if (maxLat.isNaN || v < maxLat) maxLat = v)
+      case _ =>
+    }
+    def dbl(e: Expression): Option[Double] = e match {
+      case Literal(v: Double, _) => Some(v)
+      case Literal(v: Float, _) => Some(v.toDouble)
+      case Literal(v: Int, _) => Some(v.toDouble)
+      case Literal(v: Long, _) => Some(v.toDouble)
+      case _ => None
+    }
+    conjuncts.foreach {
+      case GreaterThanOrEqual(a, v) => dbl(v).foreach(d => upd(a, Some(d), None))
+      case GreaterThan(a, v)        => dbl(v).foreach(d => upd(a, Some(d), None))
+      case LessThanOrEqual(a, v)    => dbl(v).foreach(d => upd(a, None, Some(d)))
+      case LessThan(a, v)           => dbl(v).foreach(d => upd(a, None, Some(d)))
+      case GreaterThanOrEqual(v, a) => dbl(v).foreach(d => upd(a, None, Some(d)))
+      case GreaterThan(v, a)        => dbl(v).foreach(d => upd(a, None, Some(d)))
+      case LessThanOrEqual(v, a)    => dbl(v).foreach(d => upd(a, Some(d), None))
+      case LessThan(v, a)           => dbl(v).foreach(d => upd(a, Some(d), None))
+      case StContainsWkt(wkt, lonE, latE)
+          if wkt.foldable && wkt.eval(null) != null &&
+             lonE.semanticEquals(lon) && latE.semanticEquals(lat) =>
+        val rings = GeoMath.parseWktPolygon(wkt.eval(null).asInstanceOf[UTF8String].toString)
+        val outer = rings.head
+        val lons = outer.indices.collect { case i if i % 2 == 0 => outer(i) }
+        val lats = outer.indices.collect { case i if i % 2 == 1 => outer(i) }
+        upd(lon, Some(lons.min), None); upd(lon, None, Some(lons.max))
+        upd(lat, Some(lats.min), None); upd(lat, None, Some(lats.max))
+      case _ =>
+    }
+    if (minLon.isNaN || maxLon.isNaN || minLat.isNaN || maxLat.isNaN ||
+        minLon > maxLon || minLat > maxLat) None
+    else Some((minLon, minLat, maxLon, maxLat))
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

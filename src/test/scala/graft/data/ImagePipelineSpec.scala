@@ -122,11 +122,32 @@ class ImagePipelineSpec extends AnyFunSuite {
     assert(afterUpdate.where($"p" === 1).count() == 10, "untouched partition intact")
     assert(afterUpdate.where($"p" === 0 && $"payload" === "v1").count() == 0)
 
-    // extend: append rows to partition 1 (reference GeoHash.extend)
+    // extend: append rows to partition 1 (reference GeoHash.extend).
+    // FILE-LEVEL: the append must only ADD files — no pre-existing data file
+    // may be rewritten or removed (the 100 TB append contract).
+    def dataFiles(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(tbl, "data")).iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet"))
+        .map(p => p.toString -> java.nio.file.Files.getLastModifiedTime(p).toMillis)
+        .toMap
+    }
+    val before = dataFiles()
     val m2 = IcebergLite.extend(rows(200L to 204L, 1, "v3"), tbl, "p")
+    val after = dataFiles()
+    assert(before.keySet.subsetOf(after.keySet), "extend removed existing data files")
+    before.foreach { case (f, mtime) =>
+      assert(after(f) == mtime, s"extend rewrote existing file $f") }
+    assert(after.size > before.size, "extend added no files")
     val afterExtend = IcebergLite.read(spark, tbl)
     assert(afterExtend.where($"p" === 1).count() == 15, "10 original + 5 appended")
     assert(afterExtend.where($"p" === 0).count() == 3, "update result intact")
     assert(m2.snapshotId > m1.snapshotId && m1.parentSnapshotId >= 0, "snapshot lineage chains")
+    // snapshot isolation / time travel: the pre-extend snapshot still reads
+    // consistently through its own manifest
+    assert(IcebergLite.read(spark, tbl, asOfSnapshot = m1.snapshotId)
+      .where($"p" === 1).count() == 10)
+    // per-partition row counts sum across snapshots
+    assert(IcebergLite.rowsByPartition(m2) == Map("0" -> 3L, "1" -> 15L))
   }
 }
