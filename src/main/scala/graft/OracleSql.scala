@@ -76,6 +76,27 @@ object OracleSql {
     s"((${conds.mkString(" + ")}) % 2 = 1)"
   }
 
+  /** Dense per-cell count grid over a box (SpatialOps.toGrid): the lattice
+    * comes from generate_series with the SAME fromCellXY shift/interleave
+    * chain, LEFT JOINed to per-tile counts; empty cells coalesce to 0. */
+  def toGridDuck(table: String, key: String,
+                 minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
+                 bits: Int): String = {
+    import graft.core.Geohash
+    val (c0, cx, cy) = Geohash.gridProperties(minLon, minLat, maxLon, maxLat, bits)
+    val x0 = Geohash.cellX(c0, bits); val y0 = Geohash.cellY(c0, bits)
+    val lonShift = 30 - Geohash.lonBitsOf(bits)
+    val latShift = 30 - Geohash.latBitsOf(bits)
+    s"""${withIdxCte(table, key)},
+       | _cnt AS (SELECT ${tileSql("_gx", "_gy", bits)} AS tile, count(*) AS n FROM _idx GROUP BY 1),
+       | _g0 AS (SELECT g % $cx AS gj, g // $cx AS gi FROM generate_series(0, ${cx * cy - 1}) AS t(g)),
+       | _g1 AS (SELECT gi, gj, CAST(($x0 + gj) << $lonShift AS BIGINT) AS xx,
+       |         CAST(($y0 + gi) << $latShift AS BIGINT) AS yy FROM _g0),
+       | _g2 AS (SELECT gi, gj, ${tileSql("xx", "yy", bits)} AS tile FROM _g1)
+       | SELECT gi, gj, _g2.tile AS tile, COALESCE(n, 0) AS n
+       | FROM _g2 LEFT JOIN _cnt ON _g2.tile = _cnt.tile""".stripMargin.replace("\n", " ")
+  }
+
   /** md5-derived 60-bit positive hash of a string expression — identical in
     * Spark (`conv`) and DuckDB (`'0x' || hex` cast). Spark form uses conv();
     * use [[hash60DuckSql]] for the oracle side. */

@@ -36,6 +36,7 @@ object SparkEntry {
   private val franceQuad = Array(-2.5, 41.0, 3.0, 41.5, 2.0, 48.0, -4.5, 47.5)
   private val franceWkt = "POLYGON ((-2.5 41.0, 3.0 41.5, 2.0 48.0, -4.5 47.5, -2.5 41.0))"
   private val blockCenter = (-0.125, 51.5)
+  private val gridBox = BBox(-10.0, 40.0, 10.0, 55.0) // q46 dense-grid extent
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -331,9 +332,23 @@ object SparkEntry {
              expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
         .select("month", "n", "total")
     },
+    "q46_to_grid" -> gq { (s, dir) =>
+      // to_xarray equivalent (SURVEY §3.2 #22): dense per-cell count grid
+      // over a box, empty cells included with n=0
+      SpatialOps.toGrid(
+        SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey"),
+        "lon", "lat", gridBox, 14)
+    },
     // --- streaming (Structured Streaming; result == batch GROUP BY) ---
     "q50_stream_window" -> gq { (s, dir) =>
       graft.engine.StreamOps.streamedWindowAgg(s, s"$dir/events.parquet")
+    },
+    "q52_stream_tiling" -> gq { (s, dir) =>
+      // incremental tiling: stream → foreachBatch extend into an
+      // IcebergLite table → per-tile counts read through the manifest
+      val tbl = java.nio.file.Files.createTempDirectory("q52").toString + "/t"
+      graft.engine.StreamOps.streamedTileIngest(s, s"$dir/events.parquet", tbl,
+        "user_id", 20, 6)
     },
     "q51_stream_sessions" -> gq { (s, dir) =>
       // stateful streaming sessionization (6h gap); emits CLOSED sessions
@@ -551,6 +566,15 @@ object SparkEntry {
         """SELECT date_trunc('month', o_orderdate) AS month, count(*) AS n,
           | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
           | FROM orders GROUP BY 1""".stripMargin.replace("\n", " "),
+      "q46_to_grid" ->
+        toGridDuck("customer", "c_custkey",
+          gridBox.minLon, gridBox.minLat, gridBox.maxLon, gridBox.maxLat, 14),
+      "q52_stream_tiling" -> { // final table state == plain batch group-by
+        val evIdx =
+          s"""WITH _pts AS (SELECT user_id, ${lonSql("user_id")} AS _lon, ${latSql("user_id")} AS _lat FROM events),
+             |_idx AS (SELECT *, ${lonIdx30Sql("_lon")} AS _gx, ${latIdx30Sql("_lat")} AS _gy FROM _pts)""".stripMargin.replace("\n", " ")
+        s"""$evIdx SELECT ${tileSql("_gx", "_gy", 20)} AS tile, count(*) AS n FROM _idx GROUP BY 1"""
+      },
       "q50_stream_window" ->
         """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
           | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_val

@@ -216,6 +216,34 @@ object SpatialOps {
       rowsByPartition.values.sum)
   }
 
+  /** Dense raster of per-cell counts over a box — the engine equivalent of
+    * the reference's `converter.to_xarray` (SURVEY.md §3.2 #22: cell grid →
+    * dense row/col array). The aggregation is distributed (broadcast
+    * semi-join prunes the scan to the box, then partial+final hash agg);
+    * the dense lattice itself is a bounded viz artifact (maxCells-guarded),
+    * built like a covering broadcast side. Empty cells appear with n=0.
+    * Output: (gi, gj, tile, n) — gi/gj are 0-based row(lat)/col(lon)
+    * offsets from the box's SW corner. */
+  def toGrid(points: DataFrame, lonCol: String, latCol: String,
+             box: BBox, bits: Int): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val (c0, cx, cy) = Geohash.gridProperties(box.minLon, box.minLat, box.maxLon, box.maxLat, bits)
+    require(cx * cy <= (1 << 20), s"dense grid of ${cx * cy} cells exceeds the 2^20 guard")
+    val x0 = Geohash.cellX(c0, bits); val y0 = Geohash.cellY(c0, bits)
+    val nx = 1L << Geohash.lonBitsOf(bits)
+    val grid = (0L until cx * cy).map { g =>
+      val gj = g % cx; val gi = g / cx
+      (gi, gj, Geohash.fromCellXY((x0 + gj) % nx, y0 + gi, bits))
+    }.toDF("gi", "gj", "tile")
+    val counts = withTile(points, lonCol, latCol, bits)
+      .join(broadcast(grid.select("tile")), "tile") // prune scan to the box
+      .groupBy("tile").agg(count(lit(1)).as("n"))
+    grid.join(counts, Seq("tile"), "left")
+      .na.fill(0L, Seq("n"))
+      .select("gi", "gj", "tile", "n")
+  }
+
   /** Large-large equi-join on tile keys with explicit deterministic salting
     * for hot cells (SURVEY.md §5): left rows get salt = hash(saltKey) % s,
     * right rows are replicated ×s. Results are row-identical to the unsalted

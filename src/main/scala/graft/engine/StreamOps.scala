@@ -36,6 +36,39 @@ object StreamOps {
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_val"))
   }
 
+  /** Incremental tiling ingest (round-2 roadmap #10): a file stream is
+    * tile-assigned batch-by-batch and APPENDED to an IcebergLite table via
+    * foreachBatch → [[graft.data.IcebergLite.extend]] (file-level appends:
+    * each micro-batch adds a snapshot, no partition rewrite). Because the
+    * per-partition checksums are XOR-accumulative, the stream-fed table's
+    * cumulative manifest state equals a one-shot batch write's — asserted in
+    * EngineOpsSpec. Returns the final per-tile counts read through the
+    * manifest. */
+  def streamedTileIngest(spark: SparkSession, parquetPath: String, table: String,
+                         keyCol: String, bits: Int, prefixBits: Int,
+                         maxFilesPerTrigger: Int = 0): DataFrame = {
+    import graft.data.IcebergLite
+    val schema = spark.read.parquet(parquetPath).schema
+    val f = new java.io.File(parquetPath)
+    val (dir, glob) = if (f.isDirectory) (parquetPath, "*") else (f.getParent, f.getName)
+    var reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if (maxFilesPerTrigger > 0) reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val stream = reader.parquet(dir).select(col("event_id"), col(keyCol))
+    val q = stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      if (!batch.isEmpty) {
+        val tiled = SpatialOps.withTile(
+            SpatialOps.withDerivedPosition(batch, keyCol), "lon", "lat", bits)
+          .withColumn("tile_p", graft.sql.functions.gh_parent(col("tile"), bits, prefixBits))
+        if (IcebergLite.readManifest(table).isEmpty) IcebergLite.write(tiled, table, "tile_p")
+        else IcebergLite.extend(tiled, table, "tile_p")
+      }
+      ()
+    }.outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    IcebergLite.read(spark, table)
+      .groupBy("tile").agg(count(lit(1)).as("n")).select("tile", "n")
+  }
+
   // TIMESTAMP_NTZ columns (parquet timestamps without tz) map to
   // LocalDateTime in typed Datasets — keeping NTZ end-to-end matches the
   // naive timestamps the DuckDB oracle produces.

@@ -99,6 +99,55 @@ class EngineOpsSpec extends AnyFunSuite {
       "state did not carry across batches")
   }
 
+  test("streamed tile ingest: final manifest state == one-shot batch write") {
+    import graft.data.IcebergLite
+    val dir = java.nio.file.Files.createTempDirectory("stream_tile").toString
+    val events = spark.read.parquet(s"$sf/events.parquet").select($"event_id", $"user_id")
+    // two ts-ordered files so the stream runs >1 micro-batch (extend path)
+    val half = events.count() / 2
+    events.where($"event_id" < half).coalesce(1).write.parquet(s"$dir/in")
+    Thread.sleep(1100)
+    events.where($"event_id" >= half).coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    val streamed = StreamOps.streamedTileIngest(spark, s"$dir/in", s"$dir/t",
+      "user_id", 20, 6, maxFilesPerTrigger = 1)
+
+    // one-shot batch write of the same rows
+    val tiled = SpatialOps.withTile(
+        SpatialOps.withDerivedPosition(events, "user_id"), "lon", "lat", 20)
+      .withColumn("tile_p", graft.sql.functions.gh_parent($"tile", 20, 6))
+    IcebergLite.write(tiled, s"$dir/batch", "tile_p")
+
+    val sm = IcebergLite.readManifest(s"$dir/t").get
+    val bm = IcebergLite.readManifest(s"$dir/batch").get
+    assert(sm.snapshotId >= 1, "stream should have committed multiple snapshots")
+    // per-partition rows equal; per-partition cumulative checksums equal
+    // (bit_xor accumulates across the stream's snapshots)
+    assert(IcebergLite.rowsByPartition(sm) == IcebergLite.rowsByPartition(bm))
+    def chk(m: IcebergLite.Manifest): Map[String, Long] =
+      m.entries.groupBy(_.partition).map { case (p, es) =>
+        p -> es.map(_.checksum).reduce(_ ^ _) }
+    assert(chk(sm) == chk(bm), "cumulative checksums diverge from batch write")
+    // and the returned per-tile counts equal the batch group-by
+    val batchCounts = tiled.groupBy("tile").agg(count(lit(1)).as("n")).select("tile", "n")
+    assert(streamed.exceptAll(batchCounts).isEmpty && batchCounts.exceptAll(streamed).isEmpty)
+  }
+
+  test("toGrid: dense grid covers the box, counts match brute force, empties are 0") {
+    val box = BBox(-10.0, 40.0, 10.0, 55.0)
+    val grid = SpatialOps.toGrid(customers, "lon", "lat", box, 14).collect()
+    val (_, cx, cy) = graft.core.Geohash.gridProperties(
+      box.minLon, box.minLat, box.maxLon, box.maxLat, 14)
+    assert(grid.length == cx * cy, "grid must be dense (every lattice cell present)")
+    val byTile = grid.map(r => r.getLong(2) -> r.getLong(3)).toMap
+    val brute = customers.collect().map(r => (r.getDouble(1), r.getDouble(2)))
+      .map { case (lon, lat) => graft.core.Geohash.encode(lon, lat, 14) }
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    byTile.foreach { case (t, n) => assert(brute.getOrElse(t, 0L) == n, s"tile $t") }
+    assert(grid.exists(_.getLong(3) == 0L), "expected some empty cells")
+    assert(grid.exists(_.getLong(3) > 0L), "expected some occupied cells")
+  }
+
   test("explain: box query pushes tile equi-join to broadcast hash join, no shuffle of big side") {
     val box = BBox(-0.75, 51.0, 0.25, 52.0)
     val plan = SpatialOps.boxQuery(customers, "lon", "lat", box, 20)
