@@ -205,6 +205,30 @@ object SparkEntry {
         .withColumn("hex", gf.hex_cell(col("lon"), col("lat"), 0.5))
         .select("c_custkey", "hex")
     },
+    "q47_h3_cells" -> gq { (s, dir) =>
+      // icosahedral aperture-7 H3-style cells (graft.core.H3Ico; iterative
+      // digit extraction — no SQL oracle; H3IcoSpec is the property oracle).
+      // rt_ok: center re-encodes to the same cell (exact in face interiors)
+      val pos = SpatialOps.withDerivedPosition(
+        ld(s, dir, "customer").select("c_custkey"), "c_custkey")
+      pos.withColumn("h3", gf.h3_cell(col("lon"), col("lat"), 5))
+        .withColumn("h3_parent", gf.h3_parent(col("h3"), 3))
+        .withColumn("is_vertex", gf.h3_is_vertex(col("h3")))
+        .withColumn("h3_center", gf.h3_center(col("h3")))
+        .withColumn("rt_ok",
+          gf.h3_cell(col("h3_center.lon"), col("h3_center.lat"), 5) === col("h3"))
+        .select("c_custkey", "h3", "h3_parent", "is_vertex", "rt_ok")
+    },
+    "q48_h3_cell_join" -> gq { (s, dir) =>
+      // H3 cells as the distributed join key (q05's shape on the hex index)
+      val c = SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey")
+        .withColumn("h3", gf.h3_cell(col("lon"), col("lat"), 4))
+        .groupBy("h3").agg(count(lit(1)).as("n_cust"))
+      val p = SpatialOps.withDerivedPosition(ld(s, dir, "supplier").select("s_suppkey"), "s_suppkey")
+        .withColumn("h3", gf.h3_cell(col("lon"), col("lat"), 4))
+        .groupBy("h3").agg(count(lit(1)).as("n_supp"))
+      c.join(p, "h3").select("h3", "n_cust", "n_supp")
+    },
     // --- training-data pipeline ops: dedup family / text analysis / ANN ---
     "q30_dedup_exact" -> gq { (s, dir) =>
       ld(s, dir, "documents")

@@ -335,6 +335,104 @@ case class S2Token(left: Expression, right: Expression) extends BinaryExpression
     copy(left = l, right = r)
 }
 
+/** h3_cell(lon, lat, res) → LONG — icosahedral aperture-7 hex cell id
+  * (H3-style, graft.core.H3Ico; honestly NOT Uber-H3-bit-compatible —
+  * see that object's doc). Codegen: static call in the per-row loop. */
+case class H3Cell(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "h3_cell"
+  override def nullSafeEval(lon: Any, lat: Any, res: Any): Any = {
+    val lo = lon.asInstanceOf[Double]; val la = lat.asInstanceOf[Double]
+    if (lo.isNaN || la.isNaN) null
+    else graft.core.H3Ico.cellId(lo, la, res.asInstanceOf[Int])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lon, lat, res) => s"""
+      if (${ghExpr.nanGuard2.format(lon, lat)}) { ${ev.isNull} = true; }
+      else { ${ev.value} = graft.core.H3Ico.cellId($lon, $lat, $res); }""")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** h3_parent(id, parent_res) → LONG — digit truncation (exact hierarchy). */
+case class H3Parent(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "h3_parent"
+  override def nullSafeEval(id: Any, pres: Any): Any =
+    graft.core.H3Ico.parent(id.asInstanceOf[Long], pres.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (i, p) => s"graft.core.H3Ico.parent($i, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** h3_center(id) → STRUCT<lon, lat>. */
+case class H3Center(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    StructType(Seq(StructField("lon", DoubleType, false), StructField("lat", DoubleType, false)))
+  override def prettyName: String = "h3_center"
+  override def nullSafeEval(id: Any): Any = {
+    val (lon, lat) = graft.core.H3Ico.center(id.asInstanceOf[Long])
+    InternalRow(lon, lat)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** h3_neighbors(id) → ARRAY<LONG> — ≤6 adjacent cells, cross-face aware. */
+case class H3Neighbors(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "h3_neighbors"
+  override def nullSafeEval(id: Any): Any =
+    new GenericArrayData(graft.core.H3Ico.neighbors(id.asInstanceOf[Long]))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** h3_ring(id, k) → ARRAY<LONG> — cells at hex distance exactly k. */
+case class H3RingExpr(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "h3_ring"
+  override def nullSafeEval(id: Any, k: Any): Any =
+    new GenericArrayData(graft.core.H3Ico.ring(id.asInstanceOf[Long], k.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** h3_children(id) → ARRAY<LONG> — the 7 aperture-7 children. */
+case class H3Children(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "h3_children"
+  override def nullSafeEval(id: Any): Any =
+    new GenericArrayData(graft.core.H3Ico.children(id.asInstanceOf[Long]))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** h3_is_vertex(id) → BOOLEAN — pentagon-analog (icosahedron-vertex) flag. */
+case class H3IsVertex(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "h3_is_vertex"
+  override def nullSafeEval(id: Any): Any =
+    graft.core.H3Ico.isVertexCell(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, i => s"graft.core.H3Ico.isVertexCell($i)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** h3_resolution(id) → INT. */
+case class H3Resolution(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "h3_resolution"
+  override def nullSafeEval(id: Any): Any = graft.core.H3Ico.resolution(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, i => s"graft.core.H3Ico.resolution($i)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** rolling_hash(text) → LONG — streaming polynomial fingerprint
   * (graft.core.TextHash; per-char loop, so no SQL oracle form). */
 case class RollingHash(child: Expression) extends UnaryExpression {

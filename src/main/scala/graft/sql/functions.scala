@@ -63,6 +63,22 @@ object GraftFunctions {
       (e: Seq[Expression]) => { require(e.length == 2, "s2_neighbors(id, level)"); S2Neighbors(cL(e(0)), cI(e(1))) }),
     ("s2_token", "s2_token(id, level) - display token",
       (e: Seq[Expression]) => { require(e.length == 2, "s2_token(id, level)"); S2Token(cL(e(0)), cI(e(1))) }),
+    ("h3_cell", "h3_cell(lon, lat, res) - icosahedral aperture-7 hex cell id (H3-style)",
+      (e: Seq[Expression]) => { require(e.length == 3, "h3_cell(lon, lat, res)"); H3Cell(cD(e(0)), cD(e(1)), cI(e(2))) }),
+    ("h3_parent", "h3_parent(id, parent_res) - zoom out by digit truncation",
+      (e: Seq[Expression]) => { require(e.length == 2, "h3_parent(id, parent_res)"); H3Parent(cL(e(0)), cI(e(1))) }),
+    ("h3_center", "h3_center(id) - cell center struct(lon, lat)",
+      (e: Seq[Expression]) => { require(e.length == 1, "h3_center(id)"); H3Center(cL(e(0))) }),
+    ("h3_neighbors", "h3_neighbors(id) - adjacent cells (cross-face aware)",
+      (e: Seq[Expression]) => { require(e.length == 1, "h3_neighbors(id)"); H3Neighbors(cL(e(0))) }),
+    ("h3_ring", "h3_ring(id, k) - cells at hex distance exactly k",
+      (e: Seq[Expression]) => { require(e.length == 2, "h3_ring(id, k)"); H3RingExpr(cL(e(0)), cI(e(1))) }),
+    ("h3_children", "h3_children(id) - the 7 aperture-7 children",
+      (e: Seq[Expression]) => { require(e.length == 1, "h3_children(id)"); H3Children(cL(e(0))) }),
+    ("h3_is_vertex", "h3_is_vertex(id) - icosahedron-vertex (pentagon-analog) flag",
+      (e: Seq[Expression]) => { require(e.length == 1, "h3_is_vertex(id)"); H3IsVertex(cL(e(0))) }),
+    ("h3_resolution", "h3_resolution(id) - resolution of a cell id",
+      (e: Seq[Expression]) => { require(e.length == 1, "h3_resolution(id)"); H3Resolution(cL(e(0))) }),
     ("rolling_hash", "rolling_hash(text) - streaming polynomial fingerprint",
       (e: Seq[Expression]) => { require(e.length == 1, "rolling_hash(text)"); RollingHash(cS(e(0))) }),
     ("hex_cell", "hex_cell(lon, lat, size) - packed axial hex id (planar lattice)",
@@ -142,6 +158,16 @@ object functions {
   def hex_center(id: Column, size: Double): Column = call_function("hex_center", id, lit(size))
   def hex_neighbors(id: Column): Column = call_function("hex_neighbors", id)
   def hex_ring(id: Column, k: Int): Column = call_function("hex_ring", id, lit(k))
+  def h3_cell(lon: Column, lat: Column, res: Int): Column =
+    call_function("h3_cell", lon, lat, lit(res))
+  def h3_parent(id: Column, parentRes: Int): Column =
+    call_function("h3_parent", id, lit(parentRes))
+  def h3_center(id: Column): Column = call_function("h3_center", id)
+  def h3_neighbors(id: Column): Column = call_function("h3_neighbors", id)
+  def h3_ring(id: Column, k: Int): Column = call_function("h3_ring", id, lit(k))
+  def h3_children(id: Column): Column = call_function("h3_children", id)
+  def h3_is_vertex(id: Column): Column = call_function("h3_is_vertex", id)
+  def h3_resolution(id: Column): Column = call_function("h3_resolution", id)
   def derive_lon(imageId: Column): Column = call_function("derive_lon", imageId)
   def derive_lat(imageId: Column): Column = call_function("derive_lat", imageId)
   def caption_of(imageId: Column): Column = call_function("caption_of", imageId)

@@ -119,6 +119,31 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(dyn.map(_.getBoolean(0)).toSeq == got.map(_.getBoolean(2)).toSeq)
   }
 
+  test("h3_* expressions match graft.core.H3Ico (Column API and SQL)") {
+    import graft.core.H3Ico
+    val got = pts
+      .withColumn("h3", gf.h3_cell($"lon", $"lat", 5))
+      .withColumn("p3", gf.h3_parent($"h3", 3))
+      .withColumn("vx", gf.h3_is_vertex($"h3"))
+      .withColumn("res", gf.h3_resolution($"h3"))
+      .withColumn("c", gf.h3_center($"h3"))
+      .withColumn("nbrs", gf.h3_neighbors($"h3"))
+      .orderBy("id").collect()
+    got.foreach { r =>
+      val expect = H3Ico.cellId(r.getDouble(1), r.getDouble(2), 5)
+      assert(r.getLong(3) == expect)
+      assert(r.getLong(4) == H3Ico.parent(expect, 3))
+      assert(r.getBoolean(5) == H3Ico.isVertexCell(expect))
+      assert(r.getInt(6) == 5)
+      val (clon, clat) = H3Ico.center(expect)
+      assert(r.getStruct(7).getDouble(0) == clon && r.getStruct(7).getDouble(1) == clat)
+      assert(r.getSeq[Long](8) == H3Ico.neighbors(expect).toSeq)
+    }
+    pts.createOrReplaceTempView("h3pts")
+    val sql = spark.sql("SELECT id, h3_cell(lon, lat, 5) AS h3 FROM h3pts ORDER BY id").collect()
+    sql.zip(got).foreach { case (s, g) => assert(s.getLong(1) == g.getLong(3)) }
+  }
+
   test("explain: gh_encode stays inside WholeStageCodegen") {
     val df = spark.range(100).select(
       ($"id" % 360 - 180).cast("double").as("lon"), ($"id" % 170 - 85).cast("double").as("lat"))
