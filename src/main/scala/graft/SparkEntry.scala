@@ -168,8 +168,14 @@ object SparkEntry {
     //     table is generated, invariants are asserted in-query) ---
     "q20_image_tile_assign" -> gq { (s, dir) =>
       import graft.data.Images
+      // dual path: the encoded tile's bbox (independent DECODE pipeline)
+      // must contain the point — in_cell all-true, asserted in DualPathSpec
       Images.withTile(Images.table(s, imageScale(dir)), 30)
-        .select("image_id", "lon", "lat", "tile")
+        .withColumn("_b", gf.gh_bbox(col("tile"), 30))
+        .withColumn("in_cell",
+          col("lon") >= col("_b.min_lon") && col("lon") < col("_b.max_lon") &&
+          col("lat") >= col("_b.min_lat") && col("lat") < col("_b.max_lat"))
+        .select("image_id", "lon", "lat", "tile", "in_cell")
     },
     "q21_image_box_join" -> gq { (s, dir) =>
       // box query over the hot cluster + per-row invariant columns:
@@ -192,12 +198,17 @@ object SparkEntry {
       }.select("c_custkey", "quad")
     },
     "q15_s2_cells" -> gq { (s, dir) => // Hilbert S2-style ids (no SQL oracle: loop)
+      // dual path (VERDICT r1 #7): the decode→encode round trip re-derives
+      // every id through the inverse pipeline; rt_ok must be all-true
+      // (asserted in DualPathSpec)
       val pos = SpatialOps.withDerivedPosition(
         ld(s, dir, "customer").select("c_custkey"), "c_custkey")
       pos.withColumn("s2", gf.s2_cell(col("lon"), col("lat"), 12))
         .withColumn("s2_parent", gf.s2_parent(col("s2"), 12, 8))
         .withColumn("s2_token", gf.s2_token(col("s2"), 12))
-        .select("c_custkey", "s2", "s2_parent", "s2_token")
+        .withColumn("_c", gf.s2_center(col("s2"), 12))
+        .withColumn("rt_ok", gf.s2_cell(col("_c.lon"), col("_c.lat"), 12) === col("s2"))
+        .select("c_custkey", "s2", "s2_parent", "s2_token", "rt_ok")
     },
     "q19_hex_cells" -> gq { (s, dir) =>
       // hexagonal cell assignment (planar axial lattice) + per-hex counts
@@ -268,8 +279,13 @@ object SparkEntry {
       graft.engine.TextOps.bpeishTokenCount(ld(s, dir, "documents"), "doc_id", "text")
     },
     "q45_rolling_fp" -> gq { (s, dir) => // per-char loop: no SQL oracle
+      // dual path: a second, independently-arranged implementation of the
+      // same polynomial (TextHash.rollingHashAlt) must agree on every row
       ld(s, dir, "documents")
-        .select(col("doc_id"), call_function("rolling_hash", col("text")).as("fp"))
+        .select(col("doc_id"),
+          call_function("rolling_hash", col("text")).as("fp"),
+          call_function("rolling_hash_alt", col("text")).as("fp_alt"))
+        .withColumn("dual_ok", col("fp") === col("fp_alt"))
     },
     "q34_ann_topk" -> gq { (s, dir) =>
       graft.engine.AnnOps.annBrute(ld(s, dir, "embeddings"), "vec_id", "embedding", 64, 3, 10)
@@ -292,8 +308,13 @@ object SparkEntry {
              countDistinct("fmt").as("n_fmts"),
              sum(length(col("caption"))).as("caption_bytes"))
         .withColumn("cell_area_m2", gf.gh_area(col("tile"), 20))
+        // dual path: per-tile extent must sit inside the tile's decoded bbox
+        .withColumn("_b", gf.gh_bbox(col("tile"), 20))
+        .withColumn("extent_ok",
+          col("min_lon") >= col("_b.min_lon") && col("max_lon") < col("_b.max_lon") &&
+          col("min_lat") >= col("_b.min_lat") && col("max_lat") < col("_b.max_lat"))
         .select("tile", "n_images", "min_lat", "max_lat", "min_lon", "max_lon",
-                "n_fmts", "caption_bytes", "cell_area_m2")
+                "n_fmts", "caption_bytes", "cell_area_m2", "extent_ok")
     },
     // --- reference row-parity mode + relational surface breadth ---
     "q23_box_coarse" -> gq { (s, dir) =>

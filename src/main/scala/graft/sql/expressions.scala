@@ -445,6 +445,19 @@ case class RollingHash(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** rolling_hash_alt(text) → LONG — independently-arranged twin of
+  * rolling_hash (graft.core.TextHash.rollingHashAlt); the dual-path check
+  * for q45. */
+case class RollingHashAlt(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "rolling_hash_alt"
+  override def nullSafeEval(s: Any): Any =
+    graft.core.TextHash.rollingHashAlt(s.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.core.TextHash.rollingHashAlt($s.toString())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** hex_cell(lon, lat, size) → LONG — packed axial hex id (planar pointy-top
   * lattice, graft.core.HexGrid; hexagonal capability per north_star,
   * honestly scoped — not H3-compatible). */

@@ -81,6 +81,8 @@ object GraftFunctions {
       (e: Seq[Expression]) => { require(e.length == 1, "h3_resolution(id)"); H3Resolution(cL(e(0))) }),
     ("rolling_hash", "rolling_hash(text) - streaming polynomial fingerprint",
       (e: Seq[Expression]) => { require(e.length == 1, "rolling_hash(text)"); RollingHash(cS(e(0))) }),
+    ("rolling_hash_alt", "rolling_hash_alt(text) - dual-path twin of rolling_hash",
+      (e: Seq[Expression]) => { require(e.length == 1, "rolling_hash_alt(text)"); RollingHashAlt(cS(e(0))) }),
     ("hex_cell", "hex_cell(lon, lat, size) - packed axial hex id (planar lattice)",
       (e: Seq[Expression]) => { require(e.length == 3, "hex_cell(lon, lat, size)"); HexCell(cD(e(0)), cD(e(1)), cD(e(2))) }),
     ("hex_center", "hex_center(id, size) - hex center struct(lon, lat)",
