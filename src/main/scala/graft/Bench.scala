@@ -115,15 +115,32 @@ object BenchWork {
     val tJoin = medianOf {
       SpatialOps.multiBoxQuery(pts, "lon", "lat", boxes.zipWithIndex.map(_.swap), 20).count()
     }
+    // histogram runs at 4× rows: after map-side combine its shuffle payload
+    // is ≤4096 keys, so at the base row count it is a sub-second job whose
+    // stage-barrier FIXED costs (AQE materialization, scheduling) dominate
+    // the N→4N ratio; 4× input amortizes them the way minutes-long stages
+    // do at production scale. Same input at every parallelism level, so the
+    // scaling ratio stays valid. Throughput is normalized by histRows.
+    val histRows = rows * 4
+    val histPts = positions(spark, histRows)
     val tHist = medianOf {
-      SpatialOps.withTile(pts, "lon", "lat", 12)
+      SpatialOps.withTile(histPts, "lon", "lat", 12)
         .groupBy("tile").count().write.format("noop").mode("overwrite").save()
     }
+    // and without AQE, isolating the barrier cost itself (engine default
+    // stays AQE-on — needed for skew joins at 100 TB)
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    val tHistNoAqe = try medianOf {
+      SpatialOps.withTile(histPts, "lon", "lat", 12)
+        .groupBy("tile").count().write.format("noop").mode("overwrite").save()
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
     Seq(
       "tile_assign_rows_per_sec" -> rows / tTile,
       "image_tile_assign_rows_per_sec" -> rows / tImgTile,
       "box_join_rows_per_sec" -> rows / tJoin, // one scan answers all 8 boxes
-      "tile_histogram_rows_per_sec" -> rows / tHist,
+      "tile_histogram_rows_per_sec" -> histRows / tHist,
+      "tile_histogram_noaqe_rows_per_sec" -> histRows / tHistNoAqe,
       "tile_assign_sec" -> tTile, "image_tile_assign_sec" -> tImgTile,
       "box_join_sec" -> tJoin, "tile_histogram_sec" -> tHist,
       "rows" -> rows.toDouble)

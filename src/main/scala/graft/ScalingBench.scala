@@ -28,7 +28,8 @@ object ScalingBench {
     } finally spark.stop()
   }
 
-  val metrics = Seq("tile_assign_rows_per_sec", "box_join_rows_per_sec", "tile_histogram_rows_per_sec")
+  val metrics = Seq("tile_assign_rows_per_sec", "image_tile_assign_rows_per_sec",
+    "box_join_rows_per_sec", "tile_histogram_rows_per_sec", "tile_histogram_noaqe_rows_per_sec")
 
   def main(args: Array[String]): Unit = {
     val rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "200000000").toLong
@@ -55,6 +56,14 @@ object ScalingBench {
     md ++= "run. The calibration row is a pure-arithmetic, shuffle-free Spark job —\n"
     md ++= "no engine can scale better than it here; read engine efficiency relative\n"
     md ++= "to it (`rel` column).\n\n"
+    md ++= "**tile_histogram**: measured at 4× the base rows (same input at every\n"
+    md ++= "parallelism level, so the ratio is valid). After map-side combine the\n"
+    md ++= "histogram's shuffle payload is ≤4096 keys, so at the base size it is a\n"
+    md ++= "sub-second job whose stage-barrier FIXED costs (AQE materialization,\n"
+    md ++= "scheduling) dominate the N→4N ratio; 4× input amortizes them the way\n"
+    md ++= "minutes-long stages do at 100 TB. The noaqe row additionally isolates\n"
+    md ++= "the AQE barrier itself; the engine default remains AQE-on (needed for\n"
+    md ++= "skew joins at scale).\n\n"
 
     val summary = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double, Double)]
     pairs.foreach { case (n, n4) =>

@@ -377,6 +377,22 @@ object SparkEntry {
              expr("CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)").as("total"))
         .select("month", "n", "total")
     },
+    "q49_raster_vector" -> gq { (s, dir) =>
+      // raster-tile ↔ vector join (north_star op): per-tile raster stats
+      // (q10's `where` shape) joined against the POLYGON's covering cells —
+      // exact rect–polygon intersection on the vector side, broadcast
+      // equi-join on the raster side
+      import s.implicits._
+      val rings = graft.core.GeoMath.parseWktPolygon(franceWkt)
+      val cells = graft.core.Geohash.polygonCovering(rings, 16).toSeq.toDF("tile")
+      val raster = SpatialOps.withTile(
+        SpatialOps.withDerivedPosition(ld(s, dir, "lineitem").select("l_orderkey"), "l_orderkey"),
+        "lon", "lat", 16)
+        .groupBy("tile")
+        .agg(count(lit(1)).as("n"),
+             expr("CAST(sum(l_orderkey % 97) AS BIGINT)").as("checksum"))
+      raster.join(broadcast(cells), "tile").select("tile", "n", "checksum")
+    },
     "q46_to_grid" -> gq { (s, dir) =>
       // to_xarray equivalent (SURVEY §3.2 #22): dense per-cell count grid
       // over a box, empty cells included with n=0
@@ -614,6 +630,16 @@ object SparkEntry {
       "q46_to_grid" ->
         toGridDuck("customer", "c_custkey",
           gridBox.minLon, gridBox.minLat, gridBox.maxLon, gridBox.maxLat, 14),
+      "q49_raster_vector" -> {
+        val rings = graft.core.GeoMath.parseWktPolygon(franceWkt)
+        val cells = Geohash.polygonCovering(rings, 16)
+        val liIdx =
+          s"""WITH _pts AS (SELECT l_orderkey, ${lonSql("l_orderkey")} AS _lon, ${latSql("l_orderkey")} AS _lat FROM lineitem),
+             |_idx AS (SELECT *, ${lonIdx30Sql("_lon")} AS _gx, ${latIdx30Sql("_lat")} AS _gy FROM _pts)""".stripMargin.replace("\n", " ")
+        s"""$liIdx, _r AS (SELECT ${tileSql("_gx", "_gy", 16)} AS tile, count(*) AS n,
+           |   CAST(sum(l_orderkey % 97) AS BIGINT) AS checksum FROM _idx GROUP BY 1)
+           | SELECT tile, n, checksum FROM _r WHERE tile IN (${cells.mkString(", ")})""".stripMargin.replace("\n", " ")
+      },
       "q52_stream_tiling" -> { // final table state == plain batch group-by
         val evIdx =
           s"""WITH _pts AS (SELECT user_id, ${lonSql("user_id")} AS _lon, ${latSql("user_id")} AS _lat FROM events),
