@@ -266,6 +266,41 @@ object OracleSql {
        | SELECT qid, rnk, vec_id, cosine FROM _r WHERE rnk <= $k""".stripMargin.replace("\n", " ")
   }
 
+  /** IVF-flat ANN (AnnOps.annIvf): data-sampled centroids, nearest-centroid
+    * assignment by squared L2 (same left-to-right chain), probe nProbe
+    * lists, exact cosine rerank — the whole pipeline reproduced in SQL. */
+  def annIvfDuck(table: String, idCol: String, embCol: String, dim: Int,
+                 nQueries: Int, k: Int, nCentroids: Int, nProbe: Int): String = {
+    def d2cols(a: String, b: String) = (0 until dim).map { i =>
+      val x = s"CAST($a[${i + 1}] AS DOUBLE)"; val y = s"CAST($b[${i + 1}] AS DOUBLE)"
+      s"(($x - $y) * ($x - $y))"
+    }.mkString("(", " + ", ")")
+    def d2q(qv: Array[Double], b: String) = (0 until dim).map { i =>
+      val y = s"CAST($b[${i + 1}] AS DOUBLE)"
+      s"((${qv(i)} - $y) * (${qv(i)} - $y))"
+    }.mkString("(", " + ", ")")
+    val perQ = (0 until nQueries).map { q =>
+      val qv = graft.engine.AnnOps.queryVec(q, dim)
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      s"""_p$q AS (SELECT cent_id, row_number() OVER (ORDER BY ${d2q(qv, "cvec")} ASC, cent_id ASC) AS prk FROM _c),
+         | _s$q AS (SELECT $q AS qid, vec_id,
+         |   ${dotConstDuck("emb", qv)} / (sqrt(${norm2Duck("emb", dim)}) * $qn) AS cosine
+         |   FROM _asg JOIN _p$q ON _asg.cent_id = _p$q.cent_id WHERE prk <= $nProbe)""".stripMargin.replace("\n", " ")
+    }.mkString(", ")
+    val unions = (0 until nQueries).map(q => s"SELECT * FROM _s$q").mkString(" UNION ALL ")
+    s"""WITH _c AS (SELECT $idCol AS cent_id, $embCol AS cvec FROM $table WHERE $idCol < $nCentroids),
+       | _d AS (SELECT e.$idCol AS vec_id, e.$embCol AS emb, c.cent_id,
+       |        ${d2cols(s"e.$embCol", "c.cvec")} AS d2 FROM $table e CROSS JOIN _c c),
+       | _a AS (SELECT vec_id, emb, cent_id,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cent_id ASC) AS rk FROM _d),
+       | _asg AS (SELECT vec_id, emb, cent_id FROM _a WHERE rk = 1),
+       | $perQ,
+       | _all AS ($unions),
+       | _r AS (SELECT qid, vec_id, cosine,
+       |        row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, vec_id ASC) AS rnk FROM _all)
+       | SELECT qid, rnk, vec_id, cosine FROM _r WHERE rnk <= $k""".stripMargin.replace("\n", " ")
+  }
+
   /** Label-blocked near-dup pairs (AnnOps.blockedNearDup), including the
     * oversized-block SRP sub-bucketing: the sub-bucket key is the same
     * left-to-right sign-bit sum the Spark side computes, so the join keys

@@ -296,6 +296,9 @@ object SparkEntry {
     "q40_ann_lsh" -> gq { (s, dir) => // approximate (no oracle): SRP buckets + exact rerank
       graft.engine.AnnOps.annLsh(ld(s, dir, "embeddings"), "vec_id", "embedding", 64, 3, 10)
     },
+    "q41_ann_ivf" -> gq { (s, dir) => // IVF-flat: probe 2 of 8 inverted lists, exact rerank
+      graft.engine.AnnOps.annIvf(ld(s, dir, "embeddings"), "vec_id", "embedding", 64, 3, 10)
+    },
     "q22_tile_metrics" -> gq { (s, dir) =>
       // per-tile metrics emission (north_rule): counts, extent, cell area,
       // format mix per tile of the image table (rows-only check)
@@ -585,6 +588,7 @@ object SparkEntry {
         """SELECT doc_id, CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)) AS BIGINT)
           | AS n_bpeish FROM documents""".stripMargin.replace("\n", " "),
       "q34_ann_topk" -> annBruteDuck("embeddings", "vec_id", "embedding", 64, 3, 10),
+      "q41_ann_ivf" -> annIvfDuck("embeddings", "vec_id", "embedding", 64, 3, 10, 8, 2),
       "q39_embed_neardup" ->
         blockedNearDupDuck("embeddings", "vec_id", "embedding", "label", 64, 0.45,
           graft.engine.AnnOps.SubBlockCap, graft.engine.AnnOps.SubPlanes),

@@ -98,6 +98,52 @@ object AnnOps {
     rankTopK(perQuery, k)
   }
 
+  /** IVF-flat ANN: a deterministic coarse quantizer — centroids are the
+    * first nCentroids vectors by id (data-sampled, no iterative training;
+    * the assignment/probe/rerank pipeline is the scale shape being built) —
+    * partitions vectors into inverted lists; a query probes its nProbe
+    * nearest centroid lists and exact-reranks ONLY those, so the scan
+    * shrinks by ~nProbe/nCentroids. At scale the assigned table would be
+    * written partitioned by cent_id (same layout trick as the tile index)
+    * so probes prune at file level. Fully SQL-expressible, so unlike the
+    * SRP-LSH variant this one is oracle-checked hash-exact (q41).
+    * Output (qid, rnk, vec_id, cosine). */
+  def annIvf(emb: DataFrame, idCol: String, embCol: String, dim: Int,
+             nQueries: Int, k: Int, nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
+    val cents = emb.where(col(idCol) < nCentroids)
+      .select(col(idCol).as("cent_id"), col(embCol).as("_cvec"))
+    // nearest centroid by squared L2 (left-to-right fold, oracle-identical)
+    val d2ToCent = aggregate(
+      zip_with(col(embCol).cast("array<double>"), col("_cvec").cast("array<double>"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val wAssign = Window.partitionBy(col(idCol)).orderBy(col("_d2").asc, col("cent_id").asc)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("_d2", d2ToCent)
+      .withColumn("_rk", row_number().over(wAssign))
+      .where(col("_rk") === 1)
+      .select(col(idCol), col(embCol), col("cent_id"))
+      .withColumn("_n", sqrt(norm2(embCol, dim)))
+    val perQuery = (0 until nQueries).map { q =>
+      val qv = queryVec(q, dim)
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      val qlit = array(qv.map(lit): _*)
+      // the query's nProbe nearest centroid lists (tiny: nCentroids rows)
+      val qd2 = aggregate(
+        zip_with(qlit, col("_cvec").cast("array<double>"), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      val probes = cents.withColumn("_qd2", qd2)
+        .withColumn("_prk", row_number().over(
+          Window.orderBy(col("_qd2").asc, col("cent_id").asc)))
+        .where(col("_prk") <= nProbe)
+        .select("cent_id")
+      val cos = (dotConst(embCol, qv) / (col("_n") * lit(qn))).as("cosine")
+      assigned.join(broadcast(probes), "cent_id")
+        .select(lit(q).as("qid"), col(idCol).as("vec_id"), cos)
+    }
+    rankTopK(perQuery, k)
+  }
+
   /** A label block bigger than this gets SUB-BUCKETED by SRP sign bits: one
     * hot label at 100 TB would otherwise make the within-block pair join
     * O(n²). Blocks at or under the cap keep exact all-pairs semantics; the
