@@ -407,6 +407,11 @@ object SparkEntry {
     "q50_stream_window" -> gq { (s, dir) =>
       graft.engine.StreamOps.streamedWindowAgg(s, s"$dir/events.parquet")
     },
+    "q53_stream_watermark" -> gq { (s, dir) =>
+      // watermarked APPEND-mode windows: emitted exactly when the watermark
+      // (max event time − 2h) passes the window end; late tail stays open
+      graft.engine.StreamOps.streamedWatermarkAgg(s, s"$dir/events.parquet", "2 hours")
+    },
     "q52_stream_tiling" -> gq { (s, dir) =>
       // incremental tiling: stream → foreachBatch extend into an
       // IcebergLite table → per-tile counts read through the manifest
@@ -654,6 +659,12 @@ object SparkEntry {
         """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
           | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
           | FROM events GROUP BY 1, 2""".stripMargin.replace("\n", " "),
+      "q53_stream_watermark" -> // append mode: only windows closed by the final watermark
+        """WITH _m AS (SELECT max(ts) - INTERVAL '2 hours' AS wm FROM events)
+          | SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+          | count(*) AS n, CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_val
+          | FROM events GROUP BY 1, 2
+          | HAVING time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' <= (SELECT wm FROM _m)""".stripMargin.replace("\n", " "),
       "q51_stream_sessions" ->
         """WITH g AS (SELECT user_id, ts,
           |   CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL

@@ -36,6 +36,35 @@ object StreamOps {
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_val"))
   }
 
+  /** Watermarked tumbling-window aggregation in APPEND mode: a window's row
+    * is emitted exactly once, when the watermark (max event time − delay)
+    * passes its end — the late-data-bounded streaming shape. Deterministic
+    * over a static input: the final emitted set is every window whose end
+    * ≤ max(ts) − delay (later windows stay open in state), which the DuckDB
+    * oracle reproduces with a HAVING clause. */
+  def streamedWatermarkAgg(spark: SparkSession, parquetPath: String,
+                           delay: String = "2 hours"): DataFrame = {
+    val schema = spark.read.parquet(parquetPath).schema
+    val name = s"q53_out_${System.nanoTime()}"
+    val f = new java.io.File(parquetPath)
+    val (dir, glob) = if (f.isDirectory) (parquetPath, "*") else (f.getParent, f.getName)
+    val stream = spark.readStream.schema(schema)
+      .option("pathGlobFilter", glob).parquet(dir)
+      // watermark requires TIMESTAMP; the session runs UTC so NTZ↔TZ casts
+      // preserve wall-clock values (output window start is cast back)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", delay)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+           expr("CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("sum_val"))
+    val q = stream.writeStream
+      .format("memory").queryName(name).outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("w.start").cast("timestamp_ntz").as("ws"),
+        col("event_type"), col("n"), col("sum_val"))
+  }
+
   /** Incremental tiling ingest (round-2 roadmap #10): a file stream is
     * tile-assigned batch-by-batch and APPENDED to an IcebergLite table via
     * foreachBatch → [[graft.data.IcebergLite.extend]] (file-level appends:

@@ -78,6 +78,24 @@ class EngineOpsSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("watermarked append-mode window agg == batch windows closed by the final watermark") {
+    val streamed = StreamOps.streamedWatermarkAgg(spark, s"$sf/events.parquet", "2 hours")
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val maxTs = ev.agg(max($"ts")).collect()(0).getAs[java.time.LocalDateTime](0)
+    val cutoff = maxTs.minusHours(2)
+    val batch = ev.groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+           expr("CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("sum_val"))
+      .where($"w.end" <= lit(cutoff))
+      .select($"w.start".as("ws"), $"event_type", $"n", $"sum_val")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      s"streamed=${streamed.count()} batch=${batch.count()} cutoff=$cutoff")
+    // and strictly fewer than the unfiltered windows (late tail still open)
+    val all = ev.groupBy(window($"ts", "1 hour"), $"event_type").count().count()
+    assert(streamed.count() < all, "no windows were held open by the watermark")
+  }
+
   test("stateful sessionize: state carries across micro-batches (2 files == 1 file)") {
     val gapUs = 6L * 3600 * 1000000
     val events = spark.read.parquet(s"$sf/events.parquet").select($"user_id", $"ts")
