@@ -239,7 +239,9 @@ object SpatialOps {
     val counts = withTile(points, lonCol, latCol, bits)
       .join(broadcast(grid.select("tile")), "tile") // prune scan to the box
       .groupBy("tile").agg(count(lit(1)).as("n"))
-    grid.join(counts, Seq("tile"), "left")
+    // counts is bounded by the (guarded) grid size → broadcast it so the
+    // densify join never sort-merges
+    grid.join(broadcast(counts), Seq("tile"), "left")
       .na.fill(0L, Seq("n"))
       .select("gi", "gj", "tile", "n")
   }
