@@ -214,6 +214,47 @@ object IcebergLite {
     spark.read.parquet(s"$table/data").where(visible).drop("snapid")
   }
 
+  /** Compact: rewrite the table's visible content as ONE new snapshot (one
+    * entry and one file set per partition). Streaming ingest creates a
+    * snapshot per micro-batch; unbounded manifests and small files are the
+    * classic cost, and compaction is the standard rewrite-by-design answer.
+    * Old snapshots stay readable until [[expireSnapshots]]. */
+  def compact(spark: SparkSession, table: String): Manifest = {
+    val prior = readManifest(table).getOrElse(
+      throw new IllegalStateException(s"compact on uninitialized table $table"))
+    val snapshotId = prior.snapshotId + 1
+    // materialize before writing: the new snapshot dir is separate, but the
+    // plan must not lazily re-list data/ mid-write
+    val current = read(spark, table).localCheckpoint(true)
+    val incoming = stats(current, prior.partitionCol)
+    writeSnapshotFiles(current, table, prior.partitionCol, snapshotId, incoming.keys.toSeq)
+    val m = Manifest(snapshotId, prior.snapshotId, prior.partitionCol, prior.properties,
+      incoming.toSeq.map { case (p, (r, c)) => PartitionEntry(p, r, c, snapshotId) })
+    commitManifest(table, m)
+    m
+  }
+
+  /** Delete data directories of snapshots no longer referenced by the
+    * CURRENT manifest (e.g. everything superseded by a [[compact]] or
+    * [[update]]). Time travel to expired snapshots stops working; the
+    * current snapshot is untouched. Returns the deleted snapshot ids. */
+  def expireSnapshots(table: String): Seq[Long] = {
+    val m = readManifest(table).getOrElse(return Nil)
+    val live = m.entries.map(_.snapshotId).toSet
+    val dataDir = Paths.get(table, "data")
+    if (!Files.exists(dataDir)) return Nil
+    val victims = Files.list(dataDir).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("snapid="))
+      .map(p => (p, p.getFileName.toString.stripPrefix("snapid=").toLong))
+      .filterNot { case (_, sid) => live(sid) }
+      .toSeq
+    victims.foreach { case (dir, _) =>
+      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(Files.delete)
+    }
+    victims.map(_._2).sorted
+  }
+
   /** Total committed rows per partition (summing across snapshots). */
   def rowsByPartition(m: Manifest): Map[String, Long] =
     m.entries.groupBy(_.partition).map { case (p, es) => p -> es.map(_.rows).sum }

@@ -149,5 +149,19 @@ class ImagePipelineSpec extends AnyFunSuite {
       .where($"p" === 1).count() == 10)
     // per-partition row counts sum across snapshots
     assert(IcebergLite.rowsByPartition(m2) == Map("0" -> 3L, "1" -> 15L))
+
+    // compact: same content, ONE entry per partition, then expire drops the
+    // superseded snapshot dirs while the compacted table reads unchanged
+    val before2 = IcebergLite.read(spark, tbl).collect().map(_.toString).sorted
+    val mc = IcebergLite.compact(spark, tbl)
+    assert(mc.entries.size == 2 && mc.entries.map(_.snapshotId).distinct == Seq(mc.snapshotId))
+    val afterCompact = IcebergLite.read(spark, tbl).collect().map(_.toString).sorted
+    assert(afterCompact.toSeq == before2.toSeq, "compact changed table content")
+    val expired = IcebergLite.expireSnapshots(tbl)
+    assert(expired.nonEmpty, "expire should drop superseded snapshot dirs")
+    assert(IcebergLite.read(spark, tbl).collect().map(_.toString).sorted.toSeq == before2.toSeq,
+      "expire damaged the current snapshot")
+    assert(IcebergLite.rowsByPartition(IcebergLite.readManifest(tbl).get) ==
+      Map("0" -> 3L, "1" -> 15L))
   }
 }
