@@ -8,24 +8,34 @@ package graft.core
   * addressed by (face, base-cell digit, per-resolution digits 0..6), parent
   * = digit truncation, children = digit extension.
   *
+  * The lattice spacing equals the vertices' gnomonic radius, which makes
+  * every face-triangle corner an exact lattice point — and since aperture-7
+  * lattices nest (a parent center is always a child lattice point), each of
+  * the 12 icosahedron vertices is a cell CENTER at every resolution. Cells
+  * centered on a vertex are CANONICAL PENTAGON cells ([[pentagonId]]): the
+  * five per-face encodings collapse to one id (owner = lowest adjacent
+  * face), exactly detected by [[isVertexCell]], with the aperture-7
+  * hierarchy preserved (a pentagon's parent and digit-0 child are the
+  * pentagons at the adjacent resolutions).
+  *
   * HONESTY NOTE (same posture as [[S2Quad]]): cell IDS ARE NOT Uber-H3
   * bit-compatible. This implementation uses the mathematical icosahedron
-  * orientation (vertices at cyclic permutations of (0, ±1, ±φ)), 20 base
-  * cells (one per face; real H3 re-centers to 122 base cells), and anchors
-  * each cell to the face whose center is nearest the ENCODED POINT — cells
-  * straddling face edges are face-clipped fragments rather than canonical
-  * pentagons/hexagons. The 12 icosahedron vertices (H3's pentagon centers)
-  * are exposed via [[isVertexCell]]. Within face interiors the index has
+  * orientation (vertices at cyclic permutations of (0, ±1, ±φ)), one
+  * center base cell per face plus corner/edge base positions (real H3
+  * re-centers to 122 base cells), and anchors each non-pentagon cell to the
+  * face whose center is nearest the ENCODED POINT — cells straddling face
+  * edges are face-clipped fragments. Within face interiors the index has
   * exact H3 semantics: aperture-7 hierarchy by digit arithmetic, 6
-  * neighbors, rings of size 6k.
+  * neighbors, rings of size 6k; pentagons have 5-6 geometric neighbors.
   *
   * All functions are pure scalar math (argmax over 20 faces + res
   * iterations of integer lattice arithmetic), so Catalyst codegen calls
   * them statically inside WholeStageCodegen (see graft.sql H3* expressions).
   *
-  * Id packing (57 bits): [face:5][c0:3][res:4][d1..d15: 3 bits each,
+  * Id packing (59 bits): [face:5][c0:5][res:4][d1..d15: 3 bits each,
   * unused digits = 7] — like H3, unused digit slots hold the invalid
-  * marker 7, so ids at different resolutions never collide.
+  * marker 7, so ids at different resolutions never collide. c0 indexes the
+  * res-0 base position (center, ring 1, ring 2).
   */
 object H3Ico {
   final val MaxRes = 15
@@ -84,10 +94,17 @@ object H3Ico {
     faceCenter.zip(faceEx).map { case (c, ex) => cross(c, ex) }
 
   // ---- hex lattice bases per resolution ----
-  // res-0 center spacing: hexagon inradius σ0/2 must exceed the face
-  // triangle's gnomonic circumradius tan(∠center,vertex) ≈ 0.7639, so every
-  // face point rounds to lattice (0,0) at res 0 (σ0/2 = 0.8).
-  private val Sigma0 = 1.6
+  // res-0 center spacing = the gnomonic radius of the face's VERTICES
+  // (≈0.7639, tan of the center→vertex angle). With ex aligned to vertex a
+  // (see faceEx), the face triangle's corners are then EXACT res-0 lattice
+  // points (1,0), (-1,1), (0,-1) — and because aperture-7 lattices nest
+  // (every parent center is a child lattice point), each icosahedron vertex
+  // is a cell CENTER at every resolution. That is what makes canonical
+  // pentagon cells possible (see the vertex tables below).
+  private val Sigma0 = {
+    val c = dot(faceCenter(0), vertices(faces(0)._1))
+    math.sqrt(1.0 - c * c) / c
+  }
   // A_r, B_r: axial basis vectors (60° apart); aperture-7 refinement:
   // A_{r+1} = (3 A_r - B_r)/7, B_{r+1} = (A_r + 2 B_r)/7 (scale 1/√7,
   // rotate atan(√3/5) — the published aperture-7 relation).
@@ -173,14 +190,47 @@ object H3Ico {
     throw new IllegalStateException(s"aperture-7 residual out of range: ($di,$dj)")
   }
 
-  // ---- id packing: [face:5][c0:3][res:4][d1..d15 × 3 bits] ----
+  // res-0 base-cell positions on a face: center, ring 1, ring 2 (with the
+  // tight vertex-radius lattice, the aperture-7 up-walk's res-0 landing can
+  // drift up to ring 2 for face-corner points; bounded by |p|≤1 + rounding)
+  private val baseI: Array[Long] =
+    unitI ++ Array(2L, 1L, 0L, -1L, -2L, -2L, -2L, -1L, 0L, 1L, 2L, 2L)
+  private val baseJ: Array[Long] =
+    unitJ ++ Array(0L, 1L, 2L, 2L, 2L, 1L, 0L, -1L, -2L, -2L, -2L, -1L)
+  private def baseIdxOf(i: Long, j: Long): Int = {
+    var d = 0
+    while (d < baseI.length) { if (baseI(d) == i && baseJ(d) == j) return d; d += 1 }
+    throw new IllegalStateException(s"res-0 landing out of range: ($i,$j)")
+  }
+
+  // ---- vertex (pentagon) tables ----
+  // For each face: the base-cell index (1..6 unit positions) of each of its
+  // 3 corner vertices, mapped to the global vertex id; for each vertex: the
+  // canonical owner (lowest adjacent face id) and its unit index there.
+  private val faceUnitVertex: Array[Map[Int, Int]] = Array.tabulate(20) { f =>
+    val (a, b, c) = faces(f)
+    Seq(a, b, c).map { vi =>
+      val v = vertices(vi)
+      val (u, w) = project(f, v(0), v(1), v(2))
+      val (fq, fr) = toLattice(u, w, 0)
+      val (i, j) = hexRound(fq, fr)
+      baseIdxOf(i, j) -> vi
+    }.toMap
+  }
+  private val vertexOwner: Array[(Int, Int)] = Array.tabulate(12) { vi =>
+    val owner = (0 until 20).filter(f => faceUnitVertex(f).values.exists(_ == vi)).min
+    val unit = faceUnitVertex(owner).collectFirst { case (u, v) if v == vi => u }.get
+    (owner, unit)
+  }
+
+  // ---- id packing: [face:5][c0:5][res:4][d1..d15 × 3 bits] ----
   @inline def resolution(id: Long): Int = ((id >>> 45) & 0xF).toInt
-  @inline def faceOfId(id: Long): Int = ((id >>> 52) & 0x1F).toInt
-  @inline private def c0Of(id: Long): Int = ((id >>> 49) & 0x7).toInt
+  @inline def faceOfId(id: Long): Int = ((id >>> 54) & 0x1F).toInt
+  @inline private def c0Of(id: Long): Int = ((id >>> 49) & 0x1F).toInt
   @inline def digit(id: Long, k: Int): Int = ((id >>> (45 - 3 * k)) & 0x7).toInt
 
   private def pack(face: Int, c0: Int, res: Int, digits: Array[Int]): Long = {
-    var id = (face.toLong << 52) | (c0.toLong << 49) | (res.toLong << 45)
+    var id = (face.toLong << 54) | (c0.toLong << 49) | (res.toLong << 45)
     var k = 1
     while (k <= MaxRes) {
       val d = if (k <= res) digits(k - 1) else 7
@@ -190,9 +240,20 @@ object H3Ico {
     id
   }
 
+  /** The canonical PENTAGON cell of vertex `vi` at `res`: owner face =
+    * lowest adjacent face id, lattice position = the vertex (a cell center
+    * at every res — see Sigma0), digits all 0. The 5 per-face fragments
+    * around a vertex all canonicalize to this one id. */
+  def pentagonId(vi: Int, res: Int): Long = {
+    val (owner, unit) = vertexOwner(vi)
+    pack(owner, unit, res, new Array[Int](res))
+  }
+
   /** (lon, lat) → cell id at `res`. The H3 pipeline: nearest face →
     * gnomonic → lattice round at res → aperture-7 up-walk extracting one
-    * digit per resolution. */
+    * digit per resolution → vertex canonicalization (a cell centered on an
+    * icosahedron vertex is the same PENTAGON cell no matter which of the 5
+    * adjacent faces anchored it). */
   def cellId(lon: Double, lat: Double, res: Int): Long = {
     require(res >= 0 && res <= MaxRes, s"res must be 0..$MaxRes, got $res")
     val (x, y, z) = toXyz(lon, lat)
@@ -201,23 +262,30 @@ object H3Ico {
     val (fq, fr) = toLattice(u, v, res)
     var (i, j) = hexRound(fq, fr)
     val digits = new Array[Int](res)
+    var allZero = true
     var k = res
     while (k >= 1) {
       val (pi, pj) = hexRound((3.0 * i + j) / 7.0, (-i + 2.0 * j) / 7.0)
       val ci = 2 * pi - pj; val cj = pi + 3 * pj // parent center in child units
-      digits(k - 1) = digitOf(i - ci, j - cj)
+      val d = digitOf(i - ci, j - cj)
+      if (d != 0) allZero = false
+      digits(k - 1) = d
       i = pi; j = pj
       k -= 1
     }
-    // res-0 landing: (0,0) for all but extreme edge cascades (≤ 1 ring off)
-    pack(f, digitOf(i, j), res, digits)
+    val c0 = baseIdxOf(i, j)
+    // vertex canonicalization: digits all 0 + landing on a corner vertex of
+    // this face ⇒ the cell IS that vertex's pentagon
+    if (allZero && faceUnitVertex(f).contains(c0))
+      pentagonId(faceUnitVertex(f)(c0), res)
+    else pack(f, c0, res, digits)
   }
 
   /** Integer lattice coords of the cell center at its own resolution. */
   private def latticeOfId(id: Long): (Long, Long) = {
     val res = resolution(id)
     val c0 = c0Of(id)
-    var i = unitI(c0); var j = unitJ(c0)
+    var i = baseI(c0); var j = baseJ(c0)
     var k = 1
     while (k <= res) {
       val d = digit(id, k)
@@ -297,16 +365,21 @@ object H3Ico {
     disk(id, k).filterNot(inner)
   }
 
-  /** Pentagon-analog flag: the cell's center lies within ~1.5 cell radii of
-    * one of the 12 icosahedron vertices (H3's pentagon centers). Such cells
-    * are face-clipped fragments here (see class doc). */
+  /** EXACT pentagon flag: the cell is one of the 12 canonical vertex cells
+    * at its resolution (all digits 0, based on a corner-vertex position of
+    * its owner face — [[pentagonId]]). */
   def isVertexCell(id: Long): Boolean = {
-    val (lon, lat) = center(id)
-    val (x, y, z) = toXyz(lon, lat)
-    val res = resolution(id)
-    val cellRad = math.sqrt(basisA(res)._1 * basisA(res)._1 + basisA(res)._2 * basisA(res)._2) / math.sqrt(3.0)
-    val cosThresh = math.cos(1.5 * cellRad) // gnomonic ≈ angular at cell scale
-    vertices.exists(v => v(0) * x + v(1) * y + v(2) * z > cosThresh)
+    val res = resolution(id); val c0 = c0Of(id)
+    (1 to res).forall(digit(id, _) == 0) &&
+      faceUnitVertex(faceOfId(id)).contains(c0) &&
+      pentagonId(faceUnitVertex(faceOfId(id))(c0), res) == id
+  }
+
+  /** Gnomonic (≈ angular) circumradius of a cell at `res` — planner/test
+    * helper. */
+  def cellRadiusGnomonic(res: Int): Double = {
+    val (ax, ay) = basisA(res)
+    math.sqrt(ax * ax + ay * ay) / math.sqrt(3.0)
   }
 
   /** Display token: face.c0.res:digits — parseable, sortable within a res. */

