@@ -87,10 +87,11 @@ object OracleSql {
     val x0 = Geohash.cellX(c0, bits); val y0 = Geohash.cellY(c0, bits)
     val lonShift = 30 - Geohash.lonBitsOf(bits)
     val latShift = 30 - Geohash.latBitsOf(bits)
+    val nx = 1L << Geohash.lonBitsOf(bits)
     s"""${withIdxCte(table, key)},
        | _cnt AS (SELECT ${tileSql("_gx", "_gy", bits)} AS tile, count(*) AS n FROM _idx GROUP BY 1),
        | _g0 AS (SELECT g % $cx AS gj, g // $cx AS gi FROM generate_series(0, ${cx * cy - 1}) AS t(g)),
-       | _g1 AS (SELECT gi, gj, CAST(($x0 + gj) << $lonShift AS BIGINT) AS xx,
+       | _g1 AS (SELECT gi, gj, CAST((($x0 + gj) % $nx) << $lonShift AS BIGINT) AS xx,
        |         CAST(($y0 + gi) << $latShift AS BIGINT) AS yy FROM _g0),
        | _g2 AS (SELECT gi, gj, ${tileSql("xx", "yy", bits)} AS tile FROM _g1)
        | SELECT gi, gj, _g2.tile AS tile, COALESCE(n, 0) AS n

@@ -306,14 +306,22 @@ object H3Ico {
   }
 
   /** Zoom out by digit truncation — EXACT hierarchy (aperture-7 nesting is
-    * by construction, like H3's h3ToParent). */
+    * by construction, like H3's h3ToParent). If truncation leaves a cell
+    * centered on a vertex (all remaining digits 0 on a corner base
+    * position), the result canonicalizes to the pentagon id — otherwise an
+    * ancestor computed through a non-owner face would alias the same
+    * pentagon under up to 5 distinct ids. */
   def parent(id: Long, parentRes: Int): Long = {
     val res = resolution(id)
     require(parentRes >= 0 && parentRes <= res, s"parentRes $parentRes !in 0..$res")
     var out = (id & ~(0xFL << 45)) | (parentRes.toLong << 45)
     var k = parentRes + 1
     while (k <= MaxRes) { out |= 0x7L << (45 - 3 * k); k += 1 }
-    out
+    val c0 = c0Of(out)
+    if ((1 to parentRes).forall(digit(out, _) == 0) &&
+        faceUnitVertex(faceOfId(out)).contains(c0))
+      pentagonId(faceUnitVertex(faceOfId(out))(c0), parentRes)
+    else out
   }
 
   /** The 7 children of a cell at res+1 (digit extension 0..6). */

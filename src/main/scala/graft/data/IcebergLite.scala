@@ -139,7 +139,16 @@ object IcebergLite {
     var todo = all.keys.filterNot(done).toSeq.sorted
     val injected = todo.size > failAfterPartitions
     if (injected) todo = todo.take(failAfterPartitions)
-    if (todo.isEmpty) return prior.get
+    if (todo.isEmpty) {
+      // no data to write, but NEW table properties must still land (e.g.
+      // writeTiled registering the tiling on an already-written table)
+      val p = prior.get
+      return if (properties.nonEmpty && (p.properties ++ properties) != p.properties) {
+        val m = p.copy(snapshotId = p.snapshotId + 1, parentSnapshotId = p.snapshotId,
+          properties = p.properties ++ properties)
+        commitManifest(table, m); m
+      } else p
+    }
 
     writeSnapshotFiles(df, table, partitionCol, snapshotId, todo)
 
@@ -243,14 +252,18 @@ object IcebergLite {
     val live = m.entries.map(_.snapshotId).toSet
     val dataDir = Paths.get(table, "data")
     if (!Files.exists(dataDir)) return Nil
-    val victims = Files.list(dataDir).iterator().asScala
-      .filter(p => p.getFileName.toString.startsWith("snapid="))
-      .map(p => (p, p.getFileName.toString.stripPrefix("snapid=").toLong))
-      .filterNot { case (_, sid) => live(sid) }
-      .toSeq
+    val victims = scala.util.Using.resource(Files.list(dataDir)) { s =>
+      s.iterator().asScala
+        .filter(p => p.getFileName.toString.startsWith("snapid="))
+        .map(p => (p, p.getFileName.toString.stripPrefix("snapid=").toLong))
+        .filterNot { case (_, sid) => live(sid) }
+        .toSeq
+    }
     victims.foreach { case (dir, _) =>
-      Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(Files.delete)
+      scala.util.Using.resource(Files.walk(dir)) { s =>
+        s.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
     }
     victims.map(_._2).sorted
   }

@@ -32,8 +32,14 @@ object StreamOps {
     val q = stream.writeStream
       .format("memory").queryName(name).outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    // materialize, then drop the memory-sink view: repeated invocations
+    // (bench loops, verify reruns) must not accumulate result tables in
+    // driver memory for the session's lifetime
+    val out = spark.table(name)
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sum_val"))
+      .localCheckpoint(true)
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Watermarked tumbling-window aggregation in APPEND mode: a window's row
@@ -60,9 +66,12 @@ object StreamOps {
     val q = stream.writeStream
       .format("memory").queryName(name).outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name)
+    val out = spark.table(name)
       .select(col("w.start").cast("timestamp_ntz").as("ws"),
         col("event_type"), col("n"), col("sum_val"))
+      .localCheckpoint(true) // see streamedWindowAgg: drop the sink view
+    spark.catalog.dropTempView(name)
+    out
   }
 
   /** Incremental tiling ingest (round-2 roadmap #10): a file stream is
@@ -153,6 +162,9 @@ object StreamOps {
     val q = sessions.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(name).as[Session]
+    val out = spark.table(name).as[Session]
+      .localCheckpoint(true) // see streamedWindowAgg: drop the sink view
+    spark.catalog.dropTempView(name)
+    out
   }
 }

@@ -93,7 +93,14 @@ object DeriveCoveringPrune extends Rule[LogicalPlan] {
             // size pre-check: a huge covering is a plan-bloat, not a prune
             (_, cx, cy) = Geohash.gridProperties(box._1, box._2, box._3, box._4, bits)
             if cx * cy <= MaxInCells
-            cells = Geohash.covering(box._1, box._2, box._3, box._4, bits, MaxInCells)
+            east = Geohash.covering(box._1, box._2, box._3, box._4, bits, MaxInCells)
+            // lon == 180 encodes WRAPPED (normLon → -180, the west column),
+            // while the covering clamps maxLon ≥ 180 to the east column —
+            // include the west column too or rows at exactly 180 are
+            // silently pruned
+            cells = if (box._3 >= 180.0)
+                      (east ++ Geohash.covering(-180.0, box._2, -180.0, box._4, bits, MaxInCells)).distinct
+                    else east
             inList = In(prefixAttr, cells.toSeq.map(cellLiteral(_, prefixAttr))).asInstanceOf[Expression]
           } yield Filter(And(cond, inList), l)).getOrElse(f)
         case None => f
@@ -110,6 +117,27 @@ object DeriveCoveringPrune extends Rule[LogicalPlan] {
     case other => Cast(Literal(cell), other)
   }
 
+  // manifest cache keyed by table path, invalidated by the CURRENT
+  // pointer's mtime: the optimizer calls this rule on every fixed-point
+  // iteration for every Filter-over-parquet node, and re-parsing a
+  // streaming-ingested table's full entry list each time would make
+  // planning O(manifest size) per pass
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Option[graft.data.IcebergLite.Manifest])]()
+
+  private def cachedManifest(table: String): Option[graft.data.IcebergLite.Manifest] = {
+    val ptr = java.nio.file.Paths.get(table, "_manifests", "CURRENT")
+    if (!java.nio.file.Files.exists(ptr)) return None
+    val mtime = java.nio.file.Files.getLastModifiedTime(ptr).toMillis
+    val hit = manifestCache.get(table)
+    if (hit != null && hit._1 == mtime) hit._2
+    else {
+      val m = graft.data.IcebergLite.readManifest(table)
+      manifestCache.put(table, (mtime, m))
+      m
+    }
+  }
+
   /** The IcebergLite manifest backing this parquet relation, if its
     * properties record a tiling. Root path is `<table>/data`. */
   private def manifestFor(l: LogicalRelation) = l.relation match {
@@ -117,7 +145,7 @@ object DeriveCoveringPrune extends Rule[LogicalPlan] {
       fs.location.rootPaths.headOption
         .map(_.toUri.getPath)
         .filter(_.endsWith("/data"))
-        .flatMap(p => graft.data.IcebergLite.readManifest(p.stripSuffix("/data")))
+        .flatMap(p => cachedManifest(p.stripSuffix("/data")))
         .flatMap(m => m.properties.get(graft.data.IcebergLite.PropPrefixBits)
           .map(b => (m, b.toInt)))
     case _ => None
@@ -141,22 +169,27 @@ object DeriveCoveringPrune extends Rule[LogicalPlan] {
         hi.foreach(v => if (maxLat.isNaN || v < maxLat) maxLat = v)
       case _ =>
     }
-    def dbl(e: Expression): Option[Double] = e match {
-      case Literal(v: Double, _) => Some(v)
-      case Literal(v: Float, _) => Some(v.toDouble)
-      case Literal(v: Int, _) => Some(v.toDouble)
-      case Literal(v: Long, _) => Some(v.toDouble)
-      case _ => None
+    // extractor so literal-on-right and literal-on-left arms are DISJOINT
+    // patterns (a bare `case GreaterThanOrEqual(a, v)` would swallow the
+    // literal-on-left shape and the reversed arm would never match)
+    object Dbl {
+      def unapply(e: Expression): Option[Double] = e match {
+        case Literal(v: Double, _) => Some(v)
+        case Literal(v: Float, _) => Some(v.toDouble)
+        case Literal(v: Int, _) => Some(v.toDouble)
+        case Literal(v: Long, _) => Some(v.toDouble)
+        case _ => None
+      }
     }
     conjuncts.foreach {
-      case GreaterThanOrEqual(a, v) => dbl(v).foreach(d => upd(a, Some(d), None))
-      case GreaterThan(a, v)        => dbl(v).foreach(d => upd(a, Some(d), None))
-      case LessThanOrEqual(a, v)    => dbl(v).foreach(d => upd(a, None, Some(d)))
-      case LessThan(a, v)           => dbl(v).foreach(d => upd(a, None, Some(d)))
-      case GreaterThanOrEqual(v, a) => dbl(v).foreach(d => upd(a, None, Some(d)))
-      case GreaterThan(v, a)        => dbl(v).foreach(d => upd(a, None, Some(d)))
-      case LessThanOrEqual(v, a)    => dbl(v).foreach(d => upd(a, Some(d), None))
-      case LessThan(v, a)           => dbl(v).foreach(d => upd(a, Some(d), None))
+      case GreaterThanOrEqual(a, Dbl(d)) => upd(a, Some(d), None)
+      case GreaterThan(a, Dbl(d))        => upd(a, Some(d), None)
+      case LessThanOrEqual(a, Dbl(d))    => upd(a, None, Some(d))
+      case LessThan(a, Dbl(d))           => upd(a, None, Some(d))
+      case GreaterThanOrEqual(Dbl(d), a) => upd(a, None, Some(d))
+      case GreaterThan(Dbl(d), a)        => upd(a, None, Some(d))
+      case LessThanOrEqual(Dbl(d), a)    => upd(a, Some(d), None)
+      case LessThan(Dbl(d), a)           => upd(a, Some(d), None)
       case StContainsWkt(wkt, lonE, latE)
           if wkt.foldable && wkt.eval(null) != null &&
              lonE.semanticEquals(lon) && latE.semanticEquals(lat) =>

@@ -77,9 +77,16 @@ class H3IcoSpec extends AnyFunSuite with PropHelper {
       val id = H3Ico.cellId(lon, lat, res)
       val p = H3Ico.parent(id, res - 1)
       assert(H3Ico.resolution(p) == res - 1)
-      // same face, same leading digits
-      assert(H3Ico.faceOfId(p) == H3Ico.faceOfId(id))
-      (1 until res).foreach(k => assert(H3Ico.digit(p, k) == H3Ico.digit(id, k)))
+      if (H3Ico.isVertexCell(p)) {
+        // ancestor canonicalized to a pentagon: one id regardless of which
+        // adjacent face anchored the child
+        assert(p == H3Ico.pentagonId((0 until 12).find(
+          H3Ico.pentagonId(_, res - 1) == p).get, res - 1))
+      } else {
+        // same face, same leading digits
+        assert(H3Ico.faceOfId(p) == H3Ico.faceOfId(id))
+        (1 until res).foreach(k => assert(H3Ico.digit(p, k) == H3Ico.digit(id, k)))
+      }
       // grandparent consistency: parent(parent) == parent at res-2
       assert(H3Ico.parent(p, res - 2) == H3Ico.parent(id, res - 2))
       // parent of the ENCODED point's cell == the up-walk cell of the point

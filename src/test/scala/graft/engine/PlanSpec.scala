@@ -130,9 +130,12 @@ class PlanSpec extends AnyFunSuite {
 
   test("DeriveCoveringPrune: bare box/PIP filters over a tiled table prune partitions") {
     val dir = java.nio.file.Files.createTempDirectory("cover_prune").toString
-    // sf0.01: the PIP polygon is empty at sf0.001 (only 150 customers)
+    // sf0.01: the PIP polygon is empty at sf0.001 (only 150 customers);
+    // plus one row at EXACTLY lon=180 (encodes wrapped to the west column —
+    // the derived prune must still retain it)
     val pts = SpatialOps.withDerivedPosition(
       spark.read.parquet("/root/testdata/sf0.01/customer.parquet").select("c_custkey"), "c_custkey")
+      .unionByName(Seq((999999L, 180.0, 0.0)).toDF("c_custkey", "lon", "lat"))
     graft.data.IcebergLite.writeTiled(pts, s"$dir/t", "lon", "lat", 30, 6)
     val tbl = graft.data.IcebergLite.read(spark, s"$dir/t")
     val box = BBox(-0.75, 51.0, 0.25, 52.0)
@@ -164,6 +167,13 @@ class PlanSpec extends AnyFunSuite {
     assert(q2.select("c_custkey").exceptAll(expect2).isEmpty &&
            expect2.exceptAll(q2.select("c_custkey")).isEmpty)
     assert(q2.count() > 0)
+
+    // 3) box reaching EXACTLY 180: the lon=180 row encodes into the wrapped
+    // west column; the derived IN-list must include it (soundness)
+    val q3 = tbl.where($"lon" >= 170.0 && $"lon" <= 180.0 &&
+                       $"lat" >= -5.0 && $"lat" <= 5.0)
+    assert(q3.where($"c_custkey" === 999999L).count() == 1,
+      "derived covering prune dropped the lon=180 row")
   }
 
   test("annBrute: top-k is a distributed bounded heap, not a global-window sort") {
