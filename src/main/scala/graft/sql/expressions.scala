@@ -402,6 +402,30 @@ case class H3RingExpr(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** h3_disk(id, k) → ARRAY<LONG> — all cells within hex distance k (H3's
+  * gridDisk). */
+case class H3Disk(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "h3_disk"
+  override def nullSafeEval(id: Any, k: Any): Any =
+    new GenericArrayData(graft.core.H3Ico.disk(id.asInstanceOf[Long], k.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** h3_token(id) → STRING — display/interop form (face.base.res:digits). */
+case class H3TokenExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "h3_token"
+  override def nullSafeEval(id: Any): Any =
+    UTF8String.fromString(graft.core.H3Ico.token(id.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, i =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.core.H3Ico.token($i))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** h3_children(id) → ARRAY<LONG> — the 7 aperture-7 children. */
 case class H3Children(child: Expression)
     extends UnaryExpression with CodegenFallback {

@@ -73,6 +73,10 @@ object GraftFunctions {
       (e: Seq[Expression]) => { require(e.length == 1, "h3_neighbors(id)"); H3Neighbors(cL(e(0))) }),
     ("h3_ring", "h3_ring(id, k) - cells at hex distance exactly k",
       (e: Seq[Expression]) => { require(e.length == 2, "h3_ring(id, k)"); H3RingExpr(cL(e(0)), cI(e(1))) }),
+    ("h3_disk", "h3_disk(id, k) - all cells within hex distance k (gridDisk)",
+      (e: Seq[Expression]) => { require(e.length == 2, "h3_disk(id, k)"); H3Disk(cL(e(0)), cI(e(1))) }),
+    ("h3_token", "h3_token(id) - display token (face.base.res:digits)",
+      (e: Seq[Expression]) => { require(e.length == 1, "h3_token(id)"); H3TokenExpr(cL(e(0))) }),
     ("h3_children", "h3_children(id) - the 7 aperture-7 children",
       (e: Seq[Expression]) => { require(e.length == 1, "h3_children(id)"); H3Children(cL(e(0))) }),
     ("h3_is_vertex", "h3_is_vertex(id) - icosahedron-vertex (pentagon-analog) flag",
@@ -167,6 +171,8 @@ object functions {
   def h3_center(id: Column): Column = call_function("h3_center", id)
   def h3_neighbors(id: Column): Column = call_function("h3_neighbors", id)
   def h3_ring(id: Column, k: Int): Column = call_function("h3_ring", id, lit(k))
+  def h3_disk(id: Column, k: Int): Column = call_function("h3_disk", id, lit(k))
+  def h3_token(id: Column): Column = call_function("h3_token", id)
   def h3_children(id: Column): Column = call_function("h3_children", id)
   def h3_is_vertex(id: Column): Column = call_function("h3_is_vertex", id)
   def h3_resolution(id: Column): Column = call_function("h3_resolution", id)

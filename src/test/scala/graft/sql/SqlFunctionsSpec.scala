@@ -128,6 +128,8 @@ class SqlFunctionsSpec extends AnyFunSuite {
       .withColumn("res", gf.h3_resolution($"h3"))
       .withColumn("c", gf.h3_center($"h3"))
       .withColumn("nbrs", gf.h3_neighbors($"h3"))
+      .withColumn("disk", gf.h3_disk($"h3", 2))
+      .withColumn("tok", gf.h3_token($"h3"))
       .orderBy("id").collect()
     got.foreach { r =>
       val expect = H3Ico.cellId(r.getDouble(1), r.getDouble(2), 5)
@@ -138,6 +140,8 @@ class SqlFunctionsSpec extends AnyFunSuite {
       val (clon, clat) = H3Ico.center(expect)
       assert(r.getStruct(7).getDouble(0) == clon && r.getStruct(7).getDouble(1) == clat)
       assert(r.getSeq[Long](8) == H3Ico.neighbors(expect).toSeq)
+      assert(r.getSeq[Long](9) == H3Ico.disk(expect, 2).toSeq)
+      assert(r.getString(10) == H3Ico.token(expect))
     }
     pts.createOrReplaceTempView("h3pts")
     val sql = spark.sql("SELECT id, h3_cell(lon, lat, 5) AS h3 FROM h3pts ORDER BY id").collect()
