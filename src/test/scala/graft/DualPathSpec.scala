@@ -61,6 +61,19 @@ class DualPathSpec extends AnyFunSuite with PropHelper {
     }
   }
 
+  test("q47 h3 cells: center round trip ≥99% (face-edge cells documented); parents consistent") {
+    val rows = q("q47_h3_cells").collect()
+    assert(rows.nonEmpty)
+    val rtRate = rows.count(_.getAs[Boolean]("rt_ok")).toDouble / rows.length
+    assert(rtRate >= 0.99, s"h3 center round-trip rate $rtRate")
+    rows.foreach { r =>
+      val h3 = r.getAs[Long]("h3"); val p = r.getAs[Long]("h3_parent")
+      assert(graft.core.H3Ico.parent(h3, 3) == p)
+      assert(graft.core.H3Ico.resolution(p) == 3)
+    }
+    assert(q("q48_h3_cell_join").count() > 0)
+  }
+
   test("q40 ann lsh: equals a full driver-side reimplementation (buckets + best-k)") {
     import graft.engine.AnnOps
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

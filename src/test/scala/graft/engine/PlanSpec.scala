@@ -174,6 +174,22 @@ class PlanSpec extends AnyFunSuite {
                        $"lat" >= -5.0 && $"lat" <= 5.0)
     assert(q3.where($"c_custkey" === 999999L).count() == 1,
       "derived covering prune dropped the lon=180 row")
+
+    // 4) after a FILE-LEVEL append (new snapshot dir), the rule must still
+    // see appended rows through the multi-snapshot visibility predicate
+    val extra = SpatialOps.withDerivedPosition(
+      Seq(888801L, 888802L).toDF("c_custkey"), "c_custkey")
+      .withColumn("tile", gf.gh_encode($"lon", $"lat", 30))
+      .withColumn("tile_p", gf.gh_parent($"tile", 30, 6))
+    graft.data.IcebergLite.extend(extra, s"$dir/t", "tile_p")
+    val tbl2 = graft.data.IcebergLite.read(spark, s"$dir/t")
+    val q4 = tbl2.where($"lon" >= box.minLon && $"lon" <= box.maxLon &&
+                        $"lat" >= box.minLat && $"lat" <= box.maxLat)
+    val all2 = pts.unionByName(extra.select("c_custkey", "lon", "lat"))
+    val expect4 = SpatialOps.boxQuery(all2, "lon", "lat", box, 20).select("c_custkey")
+    assert(q4.select("c_custkey").exceptAll(expect4).isEmpty &&
+           expect4.exceptAll(q4.select("c_custkey")).isEmpty,
+      "covering prune inconsistent after file-level append")
   }
 
   test("annBrute: top-k is a distributed bounded heap, not a global-window sort") {
