@@ -414,8 +414,18 @@ object SparkEntry {
     },
     "q52_stream_tiling" -> gq { (s, dir) =>
       // incremental tiling: stream → foreachBatch extend into an
-      // IcebergLite table → per-tile counts read through the manifest
-      val tbl = java.nio.file.Files.createTempDirectory("q52").toString + "/t"
+      // IcebergLite table → per-tile counts read through the manifest.
+      // FIXED scratch root, wiped per invocation: repeated bench/verify
+      // loops must not leak one temp table per run
+      val root = java.nio.file.Paths.get(
+        System.getProperty("java.io.tmpdir"), "graft-q52-scratch")
+      if (java.nio.file.Files.exists(root))
+        scala.util.Using.resource(java.nio.file.Files.walk(root)) { w =>
+          import scala.jdk.CollectionConverters._
+          w.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(java.nio.file.Files.delete)
+        }
+      val tbl = root.toString + "/t"
       graft.engine.StreamOps.streamedTileIngest(s, s"$dir/events.parquet", tbl,
         "user_id", 20, 6)
     },

@@ -163,7 +163,13 @@ object Geohash {
     val x1 = lonIdxMax30(maxLon) >>> (Morton.MaxBits - lonBitsOf(bits))
     // wrapped (anti-meridian) boxes span x0..nx-1 then 0..x1
     val xCount = if (minLon > maxLon) (nx - x0) + x1 + 1 else x1 - x0 + 1
-    val total = xCount * (y1 - y0 + 1)
+    // A box whose east edge touches 180 also owns the WEST column: points at
+    // exactly lon=180 encode as -180 (normLon wraps), so a covering that
+    // stopped at x=nx-1 would exclude rows the refine predicate lon<=180
+    // accepts. Same soundness fix for every caller (boxQuery, multiBoxQuery,
+    // DeriveCoveringPrune all consume this covering).
+    val westWrap = minLon <= maxLon && maxLon >= 180.0 && x0 != 0L
+    val total = (xCount + (if (westWrap) 1L else 0L)) * (y1 - y0 + 1)
     require(total <= maxCells, s"covering would produce $total cells (> $maxCells); use a coarser precision")
     val out = new Array[Long](total.toInt)
     var n = 0
@@ -174,6 +180,7 @@ object Geohash {
         out(n) = fromCellXY((x0 + i) & (nx - 1), y, bits); n += 1
         i += 1
       }
+      if (westWrap) { out(n) = fromCellXY(0L, y, bits); n += 1 }
       y += 1
     }
     out

@@ -203,6 +203,25 @@ object H3Ico {
     throw new IllegalStateException(s"res-0 landing out of range: ($i,$j)")
   }
 
+  /** [[baseIdxOf]] with graceful degradation for the hot cellId path: the
+    * aperture-7 up-walk's res-0 landing is ring ≤ 2 for every point we have
+    * property-tested (|p| ≤ 1 + rounding), but the bound is empirical, not
+    * proven — a face-corner point drifting to ring 3 must degrade to the
+    * NEAREST base position (hex distance), not crash the whole codegen
+    * stage. */
+  private def baseIdxNearest(i: Long, j: Long): Int = {
+    var best = 0; var bestD = Long.MaxValue
+    var d = 0
+    while (d < baseI.length) {
+      val di = i - baseI(d); val dj = j - baseJ(d)
+      val dist = (math.abs(di) + math.abs(dj) + math.abs(di + dj)) / 2
+      if (dist == 0L) return d
+      if (dist < bestD) { bestD = dist; best = d }
+      d += 1
+    }
+    best
+  }
+
   // ---- vertex (pentagon) tables ----
   // For each face: the base-cell index (1..6 unit positions) of each of its
   // 3 corner vertices, mapped to the global vertex id; for each vertex: the
@@ -273,7 +292,7 @@ object H3Ico {
       i = pi; j = pj
       k -= 1
     }
-    val c0 = baseIdxOf(i, j)
+    val c0 = baseIdxNearest(i, j)
     // vertex canonicalization: digits all 0 + landing on a corner vertex of
     // this face ⇒ the cell IS that vertex's pentagon
     if (allZero && faceUnitVertex(f).contains(c0))

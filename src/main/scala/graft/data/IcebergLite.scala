@@ -111,13 +111,14 @@ object IcebergLite {
 
   private def writeSnapshotFiles(df: DataFrame, table: String, partitionCol: String,
                                  snapshotId: Long, partitions: Seq[String]): Unit = {
-    val spark = df.sparkSession
     // dynamic overwrite INSIDE the new snapshot dir: a re-attempt after a
     // crash (same snapshot id) replaces its own partial files and never
-    // touches a committed snapshot's files
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    // touches a committed snapshot's files. Per-write option, not a session
+    // conf mutation — the session's overwrite semantics outside IcebergLite
+    // must stay whatever the user set.
     df.where(col(partitionCol).cast("string").isin(partitions: _*))
       .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
       .partitionBy(partitionCol)
       .parquet(snapDir(table, snapshotId))
   }
@@ -140,14 +141,20 @@ object IcebergLite {
     val injected = todo.size > failAfterPartitions
     if (injected) todo = todo.take(failAfterPartitions)
     if (todo.isEmpty) {
-      // no data to write, but NEW table properties must still land (e.g.
-      // writeTiled registering the tiling on an already-written table)
-      val p = prior.get
-      return if (properties.nonEmpty && (p.properties ++ properties) != p.properties) {
-        val m = p.copy(snapshotId = p.snapshotId + 1, parentSnapshotId = p.snapshotId,
-          properties = p.properties ++ properties)
-        commitManifest(table, m); m
-      } else p
+      return prior match {
+        // no data to write, but NEW table properties must still land (e.g.
+        // writeTiled registering the tiling on an already-written table)
+        case Some(p) if properties.nonEmpty && (p.properties ++ properties) != p.properties =>
+          val m = p.copy(snapshotId = p.snapshotId + 1, parentSnapshotId = p.snapshotId,
+            properties = p.properties ++ properties)
+          commitManifest(table, m); m
+        case Some(p) => p
+        case None =>
+          // brand-new table from an empty DataFrame: commit an explicit empty
+          // snapshot-0 (with properties) instead of NoSuchElementException
+          val m = Manifest(snapshotId, -1L, partitionCol, properties, Nil)
+          commitManifest(table, m); m
+      }
     }
 
     writeSnapshotFiles(df, table, partitionCol, snapshotId, todo)
@@ -211,16 +218,24 @@ object IcebergLite {
   }
 
   /** Read through a manifest: only committed (snapshot, partition) pairs are
-    * visible. The visibility predicate references only directory-partition
-    * columns, so it prunes at file-listing time. */
+    * visible. Visibility is enforced by LISTING exactly the visible
+    * `data/snapid=<sid>/<partitionCol>=<value>` directories as the load
+    * paths — no predicate at all, so the plan stays CONSTANT-SIZE no matter
+    * how many micro-batch snapshots a long-lived stream has committed
+    * (an OR-per-snapshot predicate grew O(#batches) and was re-walked by
+    * every optimizer pass). basePath keeps snapid + the partition column
+    * recoverable as partition columns; uncommitted / superseded / in-flight
+    * snapshot dirs are simply never listed. */
   def read(spark: SparkSession, table: String, asOfSnapshot: Long = -1L): DataFrame = {
     val m = (if (asOfSnapshot >= 0) readSnapshot(table, asOfSnapshot) else readManifest(table))
       .getOrElse(throw new IllegalStateException(s"no committed snapshot at $table"))
-    val visible = m.entries.groupBy(_.snapshotId).toSeq.map { case (sid, es) =>
-      col("snapid") === sid &&
-        col(m.partitionCol).cast("string").isin(es.map(_.partition).distinct: _*)
-    }.reduce(_ || _)
-    spark.read.parquet(s"$table/data").where(visible).drop("snapid")
+    if (m.entries.isEmpty) throw new IllegalStateException(
+      s"table $table snapshot ${m.snapshotId} has no data partitions")
+    val esc = org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.escapePathName _
+    val dirs = m.entries.map(e =>
+      s"$table/data/snapid=${e.snapshotId}/${esc(m.partitionCol)}=${esc(e.partition)}")
+      .distinct
+    spark.read.option("basePath", s"$table/data").parquet(dirs: _*).drop("snapid")
   }
 
   /** Compact: rewrite the table's visible content as ONE new snapshot (one

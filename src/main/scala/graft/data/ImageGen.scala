@@ -30,7 +30,21 @@ object ImageGen {
 
   def idOf(i: Long): String = f"img$i%012d"
 
-  /** Stable 64-bit hash of an image_id (FNV-1a over UTF-8 bytes). */
+  /** Stable 64-bit hash of an image_id (FNV-1a over UTF-8 bytes). The
+    * UTF8String overload is canonical: it reads bytes in place with zero
+    * allocation, which is what Catalyst codegen calls on the headline
+    * 10¹²-row tile-assign path (graft.sql.DeriveLon/DeriveLat). Image ids
+    * are ASCII ("img%012d"), so the char-walking String overload is
+    * byte-identical for every id this table can contain.
+    */
+  def idHash(id: org.apache.spark.unsafe.types.UTF8String): Long = {
+    var h = 0xCBF29CE484222325L
+    val n = id.numBytes()
+    var i = 0
+    while (i < n) { h ^= (id.getByte(i) & 0xFF).toLong; h *= 0x100000001B3L; i += 1 }
+    h
+  }
+
   def idHash(id: String): Long = {
     var h = 0xCBF29CE484222325L
     var i = 0
@@ -50,19 +64,17 @@ object ImageGen {
   @inline private def hotCenter(h: Long): (Double, Double) =
     hotCenters(java.lang.Long.remainderUnsigned(splitmix64(h ^ 0xC1L), 5).toInt)
 
-  /** Derived longitude — primitive-returning so Catalyst codegen can call it
-    * as a static method inside the generated per-row loop (no UDF boxing on
-    * the headline 10¹²-row tile-assign path; see graft.sql.DeriveLon). */
-  def posLonOf(id: String): Double = {
-    val h = idHash(id)
+  /** Derived longitude from the id hash — primitive-in/primitive-out so the
+    * whole headline path (hash → position) runs allocation-free inside
+    * WholeStageCodegen. */
+  def lonOfHash(h: Long): Double = {
     val r1 = splitmix64(h); val r2 = splitmix64(r1)
     if (isHot(h)) hotCenter(h)._1 + (unit(r1) + unit(r2) - 1.0) * 0.02
     else unit(r1) * 360.0 - 180.0
   }
 
-  /** Derived latitude — see [[posLonOf]]. */
-  def posLatOf(id: String): Double = {
-    val h = idHash(id)
+  /** Derived latitude from the id hash — see [[lonOfHash]]. */
+  def latOfHash(h: Long): Double = {
     val r1 = splitmix64(h); val r2 = splitmix64(r1)
     if (isHot(h)) {
       // sum of 4 uniforms ≈ gaussian; range ±0.02°, σ≈0.01°
@@ -70,6 +82,15 @@ object ImageGen {
       hotCenter(h)._2 + (unit(r3) + unit(r4) - 1.0) * 0.02
     } else unit(r2) * 170.0 - 85.0
   }
+
+  /** Zero-allocation overloads for Catalyst codegen (graft.sql.DeriveLon /
+    * DeriveLat): hash the UTF8String's bytes in place — no per-row
+    * String materialization. */
+  def posLonOf(id: org.apache.spark.unsafe.types.UTF8String): Double = lonOfHash(idHash(id))
+  def posLatOf(id: org.apache.spark.unsafe.types.UTF8String): Double = latOfHash(idHash(id))
+
+  def posLonOf(id: String): Double = lonOfHash(idHash(id))
+  def posLatOf(id: String): Double = latOfHash(idHash(id))
 
   /** Derived position: rows with hash%10==0 cluster gaussian-ish (σ≈0.01°)
     * around one of 5 hot centers; the rest are uniform. */
@@ -83,6 +104,23 @@ object ImageGen {
     val w1 = words(((h >>> 8) % words.length).toInt.abs)
     val w2 = words(((h >>> 24) % words.length).toInt.abs)
     s"caption of $id: $w1 $w2 ${h & 0xFFFF}"
+  }
+
+  private val wordsU8 = words.map(org.apache.spark.unsafe.types.UTF8String.fromString)
+  private val capPrefixU8 = org.apache.spark.unsafe.types.UTF8String.fromString("caption of ")
+  private val capColonU8 = org.apache.spark.unsafe.types.UTF8String.fromString(": ")
+  private val capSpaceU8 = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+
+  /** Codegen overload of [[captionOf]] (graft.sql.CaptionOf): hashes the id
+    * bytes in place and assembles the caption with UTF8String.concat —
+    * byte-identical output, no input String materialization. */
+  def captionOf(id: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val h = splitmix64(idHash(id) ^ 0x5CA1AB1EL)
+    val w1 = wordsU8(((h >>> 8) % wordsU8.length).toInt.abs)
+    val w2 = wordsU8(((h >>> 24) % wordsU8.length).toInt.abs)
+    UTF8String.concat(capPrefixU8, id, capColonU8, w1, capSpaceU8, w2, capSpaceU8,
+      UTF8String.fromString(java.lang.Long.toString(h & 0xFFFF)))
   }
 
   private val widths = Array(16, 32, 64)

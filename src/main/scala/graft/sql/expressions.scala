@@ -548,9 +548,11 @@ case class DeriveLon(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "derive_lon"
   override def nullSafeEval(id: Any): Any =
-    graft.data.ImageGen.posLonOf(id.asInstanceOf[UTF8String].toString)
+    graft.data.ImageGen.posLonOf(id.asInstanceOf[UTF8String])
+  // UTF8String passed straight through: the FNV-1a hash reads its bytes in
+  // place, so the per-row hot loop allocates nothing (was $s.toString()).
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, s => s"graft.data.ImageGen.posLonOf($s.toString())")
+    defineCodeGen(ctx, ev, s => s"graft.data.ImageGen.posLonOf($s)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -559,9 +561,9 @@ case class DeriveLat(child: Expression) extends UnaryExpression {
   override def dataType: DataType = DoubleType
   override def prettyName: String = "derive_lat"
   override def nullSafeEval(id: Any): Any =
-    graft.data.ImageGen.posLatOf(id.asInstanceOf[UTF8String].toString)
+    graft.data.ImageGen.posLatOf(id.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, s => s"graft.data.ImageGen.posLatOf($s.toString())")
+    defineCodeGen(ctx, ev, s => s"graft.data.ImageGen.posLatOf($s)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
@@ -572,10 +574,9 @@ case class CaptionOf(child: Expression) extends UnaryExpression {
   override def dataType: DataType = StringType
   override def prettyName: String = "caption_of"
   override def nullSafeEval(id: Any): Any =
-    UTF8String.fromString(graft.data.ImageGen.captionOf(id.asInstanceOf[UTF8String].toString))
+    graft.data.ImageGen.captionOf(id.asInstanceOf[UTF8String])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    defineCodeGen(ctx, ev, s =>
-      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.data.ImageGen.captionOf($s.toString()))")
+    defineCodeGen(ctx, ev, s => s"graft.data.ImageGen.captionOf($s)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 

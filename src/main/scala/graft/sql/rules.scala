@@ -90,17 +90,13 @@ object DeriveCoveringPrune extends Rule[LogicalPlan] {
               case _ => false
             }
             box <- boundsOf(conjuncts, lonAttr, latAttr)
-            // size pre-check: a huge covering is a plan-bloat, not a prune
+            // size pre-check: a huge covering is a plan-bloat, not a prune.
+            // +1 column: covering() appends the west column when maxLon ≥ 180
+            // (rows at exactly 180 encode wrapped), which gridProperties'
+            // count does not include
             (_, cx, cy) = Geohash.gridProperties(box._1, box._2, box._3, box._4, bits)
-            if cx * cy <= MaxInCells
-            east = Geohash.covering(box._1, box._2, box._3, box._4, bits, MaxInCells)
-            // lon == 180 encodes WRAPPED (normLon → -180, the west column),
-            // while the covering clamps maxLon ≥ 180 to the east column —
-            // include the west column too or rows at exactly 180 are
-            // silently pruned
-            cells = if (box._3 >= 180.0)
-                      (east ++ Geohash.covering(-180.0, box._2, -180.0, box._4, bits, MaxInCells)).distinct
-                    else east
+            if (cx + 1) * cy <= MaxInCells
+            cells = Geohash.covering(box._1, box._2, box._3, box._4, bits, MaxInCells)
             inList = In(prefixAttr, cells.toSeq.map(cellLiteral(_, prefixAttr))).asInstanceOf[Expression]
           } yield Filter(And(cond, inList), l)).getOrElse(f)
         case None => f
@@ -139,13 +135,22 @@ object DeriveCoveringPrune extends Rule[LogicalPlan] {
   }
 
   /** The IcebergLite manifest backing this parquet relation, if its
-    * properties record a tiling. Root path is `<table>/data`. */
+    * properties record a tiling. [[graft.data.IcebergLite.read]] lists the
+    * visible `<table>/data/snapid=<s>/<part>=<v>` leaf dirs as load paths
+    * (constant-size visibility), so the table root is recovered from the
+    * first path's `/data/snapid=` segment; a plain `<table>/data` root
+    * (direct parquet load of the whole layout) is also accepted. */
   private def manifestFor(l: LogicalRelation) = l.relation match {
     case fs: HadoopFsRelation =>
       fs.location.rootPaths.headOption
         .map(_.toUri.getPath)
-        .filter(_.endsWith("/data"))
-        .flatMap(p => cachedManifest(p.stripSuffix("/data")))
+        .flatMap { p =>
+          val i = p.indexOf("/data/snapid=")
+          if (i >= 0) Some(p.substring(0, i))
+          else if (p.endsWith("/data")) Some(p.stripSuffix("/data"))
+          else None
+        }
+        .flatMap(cachedManifest)
         .flatMap(m => m.properties.get(graft.data.IcebergLite.PropPrefixBits)
           .map(b => (m, b.toInt)))
     case _ => None

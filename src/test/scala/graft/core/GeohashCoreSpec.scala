@@ -245,13 +245,18 @@ class GeohashCoreSpec extends AnyFunSuite with PropHelper {
     assert(east.nonEmpty)
     val eastCell = Geohash.encode(179.999999, 0.0, 10)
     assert(east.contains(eastCell), s"missing easternmost cell $eastCell")
-    // gridProperties agrees (no negative counts)
+    // gridProperties agrees (no negative counts); covering carries ONE extra
+    // column beyond the gridProperties count — the west column, because a
+    // point at exactly lon=180 encodes wrapped to -180
     val (_, cx, cy) = Geohash.gridProperties(170.0, -10.0, 180.0, 10.0, 10)
-    assert(cx > 0 && cy > 0 && cx * cy == east.length)
-    // soundness near the edge: points just west of 180 land in covered cells
-    Seq(179.9999, 175.0, 170.0).foreach { lon =>
+    assert(cx > 0 && cy > 0 && (cx + 1) * cy == east.length)
+    // soundness near the edge: points just west of 180 land in covered cells,
+    // and so does a point at EXACTLY 180 (which encodes as -180)
+    Seq(179.9999, 175.0, 170.0, 180.0).foreach { lon =>
       assert(east.contains(Geohash.encode(lon, 0.0, 10)), s"lon=$lon not covered")
     }
+    // no duplicates (a duplicate covering cell would double join rows)
+    assert(east.toSet.size == east.length)
   }
 
   test("point in polygon: convex, concave, hole — vs JTS oracle") {

@@ -204,6 +204,42 @@ class PlanSpec extends AnyFunSuite {
       "window must sit ABOVE the TakeOrderedAndProject branches")
   }
 
+  test("IcebergLite.read: visibility is path listing, constant-size as snapshots grow") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
+    val dir = java.nio.file.Files.createTempDirectory("snap_flat").toString
+    val pts = SpatialOps.withDerivedPosition(
+      spark.read.parquet(s"$sf/customer.parquet").select("c_custkey"), "c_custkey")
+    graft.data.IcebergLite.writeTiled(pts, s"$dir/t", "lon", "lat", 30, 4)
+    // streaming-ingest shape: MANY micro-batch snapshots, one extend each
+    (1 to 15).foreach { i =>
+      val batch = SpatialOps.withDerivedPosition(
+        Seq(700000L + i).toDF("c_custkey"), "c_custkey")
+        .withColumn("tile", gf.gh_encode($"lon", $"lat", 30))
+        .withColumn("tile_p", gf.gh_parent($"tile", 30, 4))
+      graft.data.IcebergLite.extend(batch, s"$dir/t", "tile_p")
+    }
+    val tbl = graft.data.IcebergLite.read(spark, s"$dir/t")
+    // all committed rows visible
+    assert(tbl.count() == pts.count() + 15)
+    // NO visibility predicate at all: committed (snapshot, partition) pairs
+    // are the load paths, so 15 micro-batches add zero Filter nodes (the
+    // old OR-per-snapshot predicate grew O(#batches) and was re-walked by
+    // every optimizer pass)
+    val filters = tbl.queryExecution.optimizedPlan.collect { case f: LFilter => f }
+    assert(filters.isEmpty, s"expected no visibility Filter, got: ${filters.mkString(";")}")
+    // DeriveCoveringPrune still fires through the multi-path relation
+    val box = BBox(-0.75, 51.0, 0.25, 52.0)
+    val q = tbl.where($"lon" >= box.minLon && $"lon" <= box.maxLon &&
+                      $"lat" >= box.minLat && $"lat" <= box.maxLat)
+    val pf = q.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("tile_p#"), s"covering prune did not fire: $pf")
+    val expect = SpatialOps.boxQuery(
+      tbl.select("c_custkey", "lon", "lat"), "lon", "lat", box, 20).select("c_custkey")
+    assert(q.select("c_custkey").exceptAll(expect).isEmpty &&
+           expect.exceptAll(q.select("c_custkey")).isEmpty)
+  }
+
   test("per-tile agg is a partial+final hash aggregate (map-side combine)") {
     val pts = SpatialOps.withDerivedPosition(
       spark.read.parquet(s"$sf/customer.parquet").select("c_custkey"), "c_custkey")
