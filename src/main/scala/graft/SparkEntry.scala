@@ -77,6 +77,20 @@ object SparkEntry {
         "lon", "lat", 20).groupBy("tile").agg(count("*").as("n_supp"))
       c.join(p, "tile").select("tile", "n_cust", "n_supp")
     },
+    "q54_range_join" -> gq { (s, dir) =>
+      // mixed-precision cell RANGE JOIN (SURVEY §10.4): fine customer tiles
+      // (24 bits) against coarse supplier regions (12 bits); prefix
+      // containment expressed as a gh_parent equi-join, coarse side
+      // broadcast (≤ 2^12 cells at any data scale)
+      val c = SpatialOps.withTile(
+        SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey"),
+        "lon", "lat", 24).groupBy("tile").agg(count("*").as("n_cust"))
+      val sup = SpatialOps.withTile(
+        SpatialOps.withDerivedPosition(ld(s, dir, "supplier").select("s_suppkey"), "s_suppkey"),
+        "lon", "lat", 12, "region").groupBy("region").agg(count("*").as("n_supp"))
+      SpatialOps.rangeJoinCells(c, "tile", 24, sup, "region", 12)
+        .select("tile", "region", "n_cust", "n_supp")
+    },
     "q06_knn" -> gq { (s, dir) =>
       SpatialOps.knnBrute(
         SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey"),
@@ -483,6 +497,17 @@ object SparkEntry {
            | _c AS (SELECT ${tileSql("_gx", "_gy", 20)} AS tile, count(*) AS n_cust FROM _idx GROUP BY 1),
            | _s AS (SELECT ${tileSql("_gx", "_gy", 20)} AS tile, count(*) AS n_supp FROM _sidx GROUP BY 1)
            | SELECT _c.tile AS tile, n_cust, n_supp FROM _c JOIN _s ON _c.tile = _s.tile""".stripMargin.replace("\n", " ")
+      },
+      "q54_range_join" -> {
+        val suppIdx =
+          s"""_spts AS (SELECT s_suppkey, ${lonSql("s_suppkey")} AS _lon, ${latSql("s_suppkey")} AS _lat FROM supplier),
+             |_sidx AS (SELECT *, ${lonIdx30Sql("_lon")} AS _gx, ${latIdx30Sql("_lat")} AS _gy FROM _spts)""".stripMargin.replace("\n", " ")
+        // gh_parent(tile, 24, 12) == tile >> 12 (prefix truncation)
+        s"""$custIdx, $suppIdx,
+           | _c AS (SELECT ${tileSql("_gx", "_gy", 24)} AS tile, count(*) AS n_cust FROM _idx GROUP BY 1),
+           | _s AS (SELECT ${tileSql("_gx", "_gy", 12)} AS region, count(*) AS n_supp FROM _sidx GROUP BY 1)
+           | SELECT _c.tile AS tile, _s.region AS region, n_cust, n_supp
+           | FROM _c JOIN _s ON (_c.tile >> 12) = _s.region""".stripMargin.replace("\n", " ")
       },
       "q06_knn" -> {
         val vals = knnQueries.map { case (q, x, y) => s"($q, $x, $y)" }.mkString(", ")

@@ -79,6 +79,24 @@ object SpatialOps {
       .drop("__cell", "__minLon", "__minLat", "__maxLon", "__maxLat")
   }
 
+  /** Mixed-precision cell join (SURVEY.md §10.4 range join): every FINE-cell
+    * row joins the COARSE-cell row whose prefix contains it. The
+    * child-to-ancestor range predicate (coarse ≤ fine < coarse+1 in key
+    * space) is re-expressed as an EQUI-join on gh_parent(fine, fineBits,
+    * coarseBits) — prefix nesting makes them identical — so Catalyst plans a
+    * plain hash join instead of needing a custom range-join SparkStrategy.
+    * The coarse side is bounded by 2^coarseBits cells; broadcast it unless
+    * the caller says otherwise. */
+  def rangeJoinCells(fine: DataFrame, fineTileCol: String, fineBits: Int,
+                     coarse: DataFrame, coarseTileCol: String, coarseBits: Int,
+                     broadcastCoarse: Boolean = true): DataFrame = {
+    require(coarseBits >= 1 && coarseBits <= fineBits,
+      s"coarseBits $coarseBits !in 1..$fineBits")
+    val withAncestor = fine.withColumn(
+      coarseTileCol, gf.gh_parent(col(fineTileCol), fineBits, coarseBits))
+    withAncestor.join(if (broadcastCoarse) broadcast(coarse) else coarse, coarseTileCol)
+  }
+
   /** Points whose cell lies in the 3×3 block around (qLon, qLat) — the
     * reference's neighbor expansion (#3/#9) as a join predicate. */
   def neighborBlockQuery(points: DataFrame, lonCol: String, latCol: String,

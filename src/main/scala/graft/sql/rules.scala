@@ -66,7 +66,9 @@ object DerivePipBBox extends Rule[LogicalPlan] {
   * filters into that shape). Bounds are taken from TOP-LEVEL CONJUNCTS
   * only — range predicates on the recorded lon/lat columns and/or a
   * foldable-WKT [[StContainsWkt]] (whose polygon bbox bounds the box).
-  * Anti-meridian boxes arrive as OR-disjunctions and are left alone.
+  * An anti-meridian box's canonical filter shape — a top-level
+  * `lon >= a OR lon <= b` (a > b) disjunct — derives the two-sided wrapped
+  * covering; other OR shapes are left alone (soundness).
   * Idempotent: skips when an IN on the prefix column is already present.
   */
 object DeriveCoveringPrune extends Rule[LogicalPlan] {
@@ -159,12 +161,18 @@ object DeriveCoveringPrune extends Rule[LogicalPlan] {
   /** (minLon, minLat, maxLon, maxLat) implied by the conjuncts: explicit
     * range predicates on lon/lat, or the bbox of a literal PIP polygon.
     * All four bounds must be present (an unbounded side has no finite
-    * covering). */
+    * covering).
+    *
+    * Anti-meridian: a top-level `lon >= a OR lon <= b` disjunct with a > b
+    * (the canonical wrapped-box filter shape, q04) yields minLon = a >
+    * maxLon = b — [[Geohash.covering]] reads that as the two-column wrapped
+    * range, so the derived IN-list covers both sides of the meridian. */
   private def boundsOf(conjuncts: Seq[Expression],
                        lon: AttributeReference, lat: AttributeReference):
       Option[(Double, Double, Double, Double)] = {
     var minLon, minLat = Double.NaN
     var maxLon, maxLat = Double.NaN
+    var wrapLo, wrapHi = Double.NaN // from a `lon >= a OR lon <= b` disjunct
     def upd(attr: Expression, lo: Option[Double], hi: Option[Double]): Unit = attr match {
       case a: AttributeReference if a.semanticEquals(lon) =>
         lo.foreach(v => if (minLon.isNaN || v > minLon) minLon = v)
@@ -186,7 +194,25 @@ object DeriveCoveringPrune extends Rule[LogicalPlan] {
         case _ => None
       }
     }
+    // a single comparison on THE lon attribute → (isLowerBound, value)
+    def lonBound(e: Expression): Option[(Boolean, Double)] = e match {
+      case GreaterThanOrEqual(a: AttributeReference, Dbl(d)) if a.semanticEquals(lon) => Some((true, d))
+      case GreaterThan(a: AttributeReference, Dbl(d)) if a.semanticEquals(lon)        => Some((true, d))
+      case LessThanOrEqual(a: AttributeReference, Dbl(d)) if a.semanticEquals(lon)    => Some((false, d))
+      case LessThan(a: AttributeReference, Dbl(d)) if a.semanticEquals(lon)           => Some((false, d))
+      case GreaterThanOrEqual(Dbl(d), a: AttributeReference) if a.semanticEquals(lon) => Some((false, d))
+      case GreaterThan(Dbl(d), a: AttributeReference) if a.semanticEquals(lon)        => Some((false, d))
+      case LessThanOrEqual(Dbl(d), a: AttributeReference) if a.semanticEquals(lon)    => Some((true, d))
+      case LessThan(Dbl(d), a: AttributeReference) if a.semanticEquals(lon)           => Some((true, d))
+      case _ => None
+    }
     conjuncts.foreach {
+      case Or(l, r) =>
+        (lonBound(l), lonBound(r)) match {
+          case (Some((true, a)), Some((false, b))) if a > b => wrapLo = a; wrapHi = b
+          case (Some((false, b)), Some((true, a))) if a > b => wrapLo = a; wrapHi = b
+          case _ => // any other OR implies no bound for the whole conjunct
+        }
       case GreaterThanOrEqual(a, Dbl(d)) => upd(a, Some(d), None)
       case GreaterThan(a, Dbl(d))        => upd(a, Some(d), None)
       case LessThanOrEqual(a, Dbl(d))    => upd(a, None, Some(d))
@@ -206,9 +232,12 @@ object DeriveCoveringPrune extends Rule[LogicalPlan] {
         upd(lat, Some(lats.min), None); upd(lat, None, Some(lats.max))
       case _ =>
     }
-    if (minLon.isNaN || maxLon.isNaN || minLat.isNaN || maxLat.isNaN ||
-        minLon > maxLon || minLat > maxLat) None
-    else Some((minLon, minLat, maxLon, maxLat))
+    if (minLat.isNaN || maxLat.isNaN || minLat > maxLat) None
+    else if (!minLon.isNaN && !maxLon.isNaN && minLon <= maxLon)
+      Some((minLon, minLat, maxLon, maxLat))
+    else if (minLon.isNaN && maxLon.isNaN && !wrapLo.isNaN && !wrapHi.isNaN)
+      Some((wrapLo, minLat, wrapHi, maxLat)) // wrapped: minLon > maxLon
+    else None
   }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {

@@ -190,6 +190,22 @@ class PlanSpec extends AnyFunSuite {
     assert(q4.select("c_custkey").exceptAll(expect4).isEmpty &&
            expect4.exceptAll(q4.select("c_custkey")).isEmpty,
       "covering prune inconsistent after file-level append")
+
+    // 5) anti-meridian: the canonical wrapped filter shape
+    // (lon >= a OR lon <= b, a > b) derives the two-sided covering prune
+    // and keeps the lon=180 row (which lives in the west column)
+    val wbox = BBox(179.0, -5.0, -179.0, 5.0)
+    val q5 = tbl2.where(($"lon" >= 179.0 || $"lon" <= -179.0) &&
+                        $"lat" >= -5.0 && $"lat" <= 5.0)
+    val pf5 = q5.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(hasDerivedIn(pf5), s"no wrapped-box derived prune: $pf5")
+    val expect5 = SpatialOps.boxQuery(all2, "lon", "lat", wbox, 20).select("c_custkey")
+    assert(q5.select("c_custkey").exceptAll(expect5).isEmpty &&
+           expect5.exceptAll(q5.select("c_custkey")).isEmpty,
+      "wrapped-box derived prune changed results")
+    assert(q5.where($"c_custkey" === 999999L).count() == 1,
+      "wrapped-box derived prune dropped the lon=180 row")
   }
 
   test("annBrute: top-k is a distributed bounded heap, not a global-window sort") {
@@ -238,6 +254,23 @@ class PlanSpec extends AnyFunSuite {
       tbl.select("c_custkey", "lon", "lat"), "lon", "lat", box, 20).select("c_custkey")
     assert(q.select("c_custkey").exceptAll(expect).isEmpty &&
            expect.exceptAll(q.select("c_custkey")).isEmpty)
+  }
+
+  test("rangeJoinCells: mixed-precision prefix join plans as a broadcast equi-join") {
+    val cust = SpatialOps.withTile(SpatialOps.withDerivedPosition(
+      spark.read.parquet(s"$sf/customer.parquet").select("c_custkey"), "c_custkey"),
+      "lon", "lat", 24).groupBy("tile").agg(count("*").as("n_cust"))
+    val supp = SpatialOps.withTile(SpatialOps.withDerivedPosition(
+      spark.read.parquet(s"$sf/supplier.parquet").select("s_suppkey"), "s_suppkey"),
+      "lon", "lat", 12, "region").groupBy("region").agg(count("*").as("n_supp"))
+    val df = SpatialOps.rangeJoinCells(cust, "tile", 24, supp, "region", 12)
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("BroadcastHashJoin"), planStr)
+    assert(!planStr.contains("SortMergeJoin"), planStr)
+    // containment really holds: every joined row's region is the tile's prefix
+    val bad = df.where(gf.gh_parent($"tile", 24, 12) =!= $"region").count()
+    assert(bad == 0)
+    assert(df.count() > 0)
   }
 
   test("per-tile agg is a partial+final hash aggregate (map-side combine)") {
