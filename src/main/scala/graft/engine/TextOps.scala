@@ -61,10 +61,19 @@ object TextOps {
   }
 
   /** LSH candidate pairs (doc_a, doc_b) from banded minhash signatures of a
-    * shingle-set DataFrame, with the [[BandBucketCap]] frequency guard:
-    * band-key frequencies are counted first and oversized buckets never
-    * enter the pair join, so candidate generation stays O(cap²) per bucket
-    * instead of quadratic in a degenerate corpus. */
+    * shingle-set DataFrame, with the [[BandBucketCap]] frequency guard.
+    *
+    * FUSED candidate stage: ONE aggregation pass per (band, key) bucket
+    * gathers the member list with [[graft.sql.CollectCapped]], whose
+    * buffer stops growing at cap+1 elements — so the frequency guard and
+    * the member collection are the same pass, a degenerate hot bucket
+    * (boilerplate band key shared by 10⁹ docs at 100 TB) costs O(cap)
+    * memory and comes back NULL, and in-bucket pairs fall out of a bounded
+    * array expansion (≤ cap(cap-1)/2 per bucket) instead of a self-join.
+    * The previous shape (count keys → join survivors back → self-join) did
+    * the same work in three shuffles and two scans of the band rows. Sorted
+    * member lists + slice-after-self yield each unordered pair exactly once
+    * with doc_a < doc_b. */
   def lshCandidates(sh: DataFrame, idCol: String,
                     bucketCap: Int = BandBucketCap): DataFrame = {
     val sig = minhashSignatures(sh, idCol)
@@ -75,16 +84,13 @@ object TextOps {
       explode(array((0 until Bands).map(b =>
         struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
-    // frequency guard: partial+final count agg (map-side combine), then only
-    // keys at sane frequencies join — the hot key appears ONCE in okKeys so
-    // the guard join itself cannot skew
-    val okKeys = bands.groupBy("band", "key").agg(count(lit(1)).as("_bf"))
-      .where(col("_bf") <= bucketCap).select("band", "key")
-    val okBands = bands.join(okKeys, Seq("band", "key"))
-    okBands.as("a").join(okBands.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("doc_a"), col(s"b.$idCol").as("doc_b"))
+    val buckets = bands.groupBy("band", "key")
+      .agg(graft.sql.functions.collect_capped(col(idCol), bucketCap).as("ids"))
+      .where(col("ids").isNotNull && size(col("ids")) >= 2)
+    buckets
+      .select(posexplode(col("ids")).as(Seq("_i", "doc_a")), col("ids"))
+      .select(col("doc_a"),
+        explode(slice(col("ids"), col("_i") + lit(2), lit(bucketCap))).as("doc_b"))
       .distinct()
   }
 

@@ -637,3 +637,107 @@ case class GhCoveringCells(children: Seq[Expression])
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(children = cs)
 }
+
+/** collect_capped(v, cap) → ARRAY — the group's values SORTED, or NULL when
+  * the group has more than `cap` members. The ONE-PASS form of "count each
+  * bucket, keep only small buckets, then gather their members": the
+  * aggregation buffer stops growing at cap+1 elements, so a degenerate hot
+  * bucket (a boilerplate LSH band key shared by 10⁹ docs at 100 TB) costs
+  * O(cap) memory per group — unlike collect_list, which would materialize
+  * the whole bucket before any size filter could run. Drives the fused
+  * LSH candidate stage ([[graft.engine.TextOps.lshCandidates]]).
+  * Children limited to STRING / BIGINT / INT (id-like columns). */
+case class CollectCapped(
+    child: Expression, cap: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+  extends org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate[java.util.ArrayList[Any]] {
+
+  require(cap >= 1, s"collect_capped cap must be >= 1, got $cap")
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def prettyName: String = "collect_capped"
+
+  private lazy val cmp: java.util.Comparator[Any] = child.dataType match {
+    case StringType => (a: Any, b: Any) =>
+      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    case LongType => (a: Any, b: Any) =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case IntegerType => (a: Any, b: Any) =>
+      java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case other => throw new IllegalArgumentException(
+      s"collect_capped supports string/bigint/int children, got $other")
+  }
+
+  override def createAggregationBuffer(): java.util.ArrayList[Any] =
+    new java.util.ArrayList[Any](4)
+
+  override def update(buf: java.util.ArrayList[Any], input: InternalRow): java.util.ArrayList[Any] = {
+    if (buf.size() <= cap) { // grows to cap+1, then stops: overflow marker
+      val v = child.eval(input)
+      if (v != null) buf.add(v match {
+        case s: UTF8String => s.clone() // unsafe-row backed memory is reused
+        case x => x
+      })
+    }
+    buf
+  }
+
+  override def merge(b1: java.util.ArrayList[Any], b2: java.util.ArrayList[Any]): java.util.ArrayList[Any] = {
+    var i = 0
+    while (i < b2.size() && b1.size() <= cap) { b1.add(b2.get(i)); i += 1 }
+    b1
+  }
+
+  override def eval(buf: java.util.ArrayList[Any]): Any = {
+    if (buf.size() > cap) null
+    else {
+      val arr = new Array[Any](buf.size())
+      var i = 0
+      while (i < arr.length) { arr(i) = buf.get(i); i += 1 }
+      java.util.Arrays.sort(arr.asInstanceOf[Array[AnyRef]], cmp.asInstanceOf[java.util.Comparator[AnyRef]])
+      new GenericArrayData(arr)
+    }
+  }
+
+  override def serialize(buf: java.util.ArrayList[Any]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeInt(buf.size())
+    var i = 0
+    child.dataType match {
+      case StringType => while (i < buf.size()) {
+        val b = buf.get(i).asInstanceOf[UTF8String].getBytes
+        out.writeInt(b.length); out.write(b); i += 1
+      }
+      case LongType => while (i < buf.size()) { out.writeLong(buf.get(i).asInstanceOf[Long]); i += 1 }
+      case _ => while (i < buf.size()) { out.writeInt(buf.get(i).asInstanceOf[Int]); i += 1 }
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.ArrayList[Any] = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val n = in.readInt()
+    val buf = new java.util.ArrayList[Any](n)
+    var i = 0
+    child.dataType match {
+      case StringType => while (i < n) {
+        val len = in.readInt(); val b = new Array[Byte](len)
+        in.readFully(b); buf.add(UTF8String.fromBytes(b)); i += 1
+      }
+      case LongType => while (i < n) { buf.add(in.readLong()); i += 1 }
+      case _ => while (i < n) { buf.add(in.readInt()); i += 1 }
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CollectCapped =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CollectCapped =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs(0))
+}

@@ -107,6 +107,11 @@ object GraftFunctions {
       (e: Seq[Expression]) => { require(e.length == 2, "gh_covering_polygon(wkt, bits)"); GhCoveringPolygon(cS(e(0)), cI(e(1))) }),
     ("gh_covering_cells", "gh_covering_cells(min_lon, min_lat, max_lon, max_lat, bits) - generator: one row per covering cell",
       (e: Seq[Expression]) => GhCoveringCells(e.take(4).map(cD) :+ cI(e(4)))),
+    ("collect_capped", "collect_capped(v, cap) - agg: sorted group values, NULL when the group exceeds cap",
+      (e: Seq[Expression]) => {
+        require(e.length == 2 && e(1).foldable, "collect_capped(v, literal cap)")
+        CollectCapped(e(0), e(1).eval(null).asInstanceOf[Number].intValue())
+      }),
   ).map { case (n, u, b) => (new FunctionIdentifier(n), info(n, u), b) }
 
   /** Idempotent registration into an existing session. */
@@ -185,6 +190,8 @@ object functions {
     call_function("gh_covering_cells", minLon, minLat, maxLon, maxLat, lit(bits))
   def gh_covering_polygon(wkt: Column, bits: Int): Column =
     call_function("gh_covering_polygon", wkt, lit(bits))
+  def collect_capped(v: Column, cap: Int): Column =
+    call_function("collect_capped", v, lit(cap))
 }
 
 /** Session factory with graft functions pre-registered and scale-appropriate

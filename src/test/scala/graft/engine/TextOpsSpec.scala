@@ -42,6 +42,29 @@ class TextOpsSpec extends AnyFunSuite {
     assert(recall >= 0.85, s"recall $recall (${got.size}/${truth.size})")
   }
 
+  test("collect_capped: sorted members, NULL past cap, bounded merge across partitions") {
+    import org.apache.spark.sql.functions._
+    // ids 0..94, grouped by id%10: groups 0..4 have 10 members, 5..9 have 9
+    val df = spark.range(0, 95).select((col("id") % 10).as("g"), col("id").as("v"))
+      .repartition(13) // force partial buffers + merges
+    val got = df.groupBy("g")
+      .agg(graft.sql.functions.collect_capped(col("v"), 9).as("ids"))
+      .collect().map(r => r.getLong(0) -> Option(r.getSeq[Long](1))).toMap
+    (0L to 4L).foreach(g => assert(got(g).isEmpty, s"group $g exceeds cap, must be NULL"))
+    (5L to 9L).foreach { g =>
+      assert(got(g).contains((g until 95L by 10L).toSeq),
+        s"group $g must be the full SORTED member list, got ${got(g)}")
+    }
+    // string children (UTF8String buffers survive serialize/merge)
+    val gotS = df.select(col("g"), concat(lit("x"), lpad(col("v").cast("string"), 3, "0")).as("v"))
+      .groupBy("g").agg(graft.sql.functions.collect_capped(col("v"), 10).as("ids"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    (0L to 4L).foreach { g =>
+      assert(gotS(g) == (g until 95L by 10L).map(v => f"x$v%03d"),
+        s"string group $g wrong: ${gotS(g)}")
+    }
+  }
+
   test("LSH band-bucket cap: a planted boilerplate bucket stays bounded") {
     import spark.implicits._
     // 300 identical boilerplate docs (one giant band bucket: 300²/2 ≈ 45k
