@@ -244,6 +244,22 @@ object SparkEntry {
           gf.h3_cell(col("h3_center.lon"), col("h3_center.lat"), 5) === col("h3"))
         .select("c_custkey", "h3", "h3_parent", "is_vertex", "rt_ok")
     },
+    "q55_h3u_cells" -> gq { (s, dir) =>
+      // Uber-H3 BIT-COMPATIBLE cells (graft.core.H3U; published golden
+      // vectors pin the id layout in H3USpec — no SQL oracle is possible,
+      // DuckDB has no H3). rt_ok: decode center re-encodes EXACTLY (the
+      // cross-face overage decode makes this hold for every row, unlike
+      // the structural twin q47's 99%)
+      val pos = SpatialOps.withDerivedPosition(
+        ld(s, dir, "customer").select("c_custkey"), "c_custkey")
+      pos.withColumn("h3", gf.h3u_cell(col("lon"), col("lat"), 7))
+        .withColumn("h3_parent", gf.h3u_parent(col("h3"), 4))
+        .withColumn("token", gf.h3u_token(col("h3")))
+        .withColumn("is_pent", gf.h3u_is_pentagon(col("h3")))
+        .withColumn("c", gf.h3u_center(col("h3")))
+        .withColumn("rt_ok", gf.h3u_cell(col("c.lon"), col("c.lat"), 7) === col("h3"))
+        .select("c_custkey", "h3", "h3_parent", "token", "is_pent", "rt_ok")
+    },
     "q48_h3_cell_join" -> gq { (s, dir) =>
       // H3 cells as the distributed join key (q05's shape on the hex index)
       val c = SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey")

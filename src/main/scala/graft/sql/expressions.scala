@@ -741,3 +741,73 @@ case class CollectCapped(
   override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
     copy(child = cs(0))
 }
+
+/** h3u_cell(lon, lat, res) → LONG — Uber-H3 BIT-COMPATIBLE cell id
+  * ([[graft.core.H3U]]; validated against published golden vectors in
+  * H3USpec). Note the lon-first argument order matches this library's other
+  * spatial functions; H3U itself is lat-first like the H3 API. */
+case class H3UCell(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "h3u_cell"
+  override def nullSafeEval(lon: Any, lat: Any, res: Any): Any = {
+    val lo = lon.asInstanceOf[Double]; val la = lat.asInstanceOf[Double]
+    if (lo.isNaN || la.isNaN) null
+    else graft.core.H3U.latLngToCell(la, lo, res.asInstanceOf[Int])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lon, lat, res) => s"""
+      if (${ghExpr.nanGuard2.format(lon, lat)}) { ${ev.isNull} = true; }
+      else { ${ev.value} = graft.core.H3U.latLngToCell($lat, $lon, $res); }""")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** h3u_center(id) → STRUCT<lon, lat> — bit-compatible cellToLatLng. */
+case class H3UCenter(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    StructType(Seq(StructField("lon", DoubleType, false), StructField("lat", DoubleType, false)))
+  override def prettyName: String = "h3u_center"
+  override def nullSafeEval(id: Any): Any = {
+    val (lat, lon) = graft.core.H3U.cellToLatLng(id.asInstanceOf[Long])
+    InternalRow(lon, lat)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** h3u_parent(id, parent_res) → LONG — bit-compatible cellToParent. */
+case class H3UParent(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "h3u_parent"
+  override def nullSafeEval(id: Any, pres: Any): Any =
+    graft.core.H3U.cellToParent(id.asInstanceOf[Long], pres.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (i, p) => s"graft.core.H3U.cellToParent($i, $p)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** h3u_token(id) → STRING — canonical lowercase-hex H3 index string
+  * (e.g. 85283473fffffff), interoperable with the H3 ecosystem. */
+case class H3UToken(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "h3u_token"
+  override def nullSafeEval(id: Any): Any =
+    UTF8String.fromString(graft.core.H3U.token(id.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, i =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.core.H3U.token($i))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** h3u_is_pentagon(id) → BOOLEAN. */
+case class H3UIsPentagon(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "h3u_is_pentagon"
+  override def nullSafeEval(id: Any): Any = graft.core.H3U.isPentagon(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, i => s"graft.core.H3U.isPentagon($i)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

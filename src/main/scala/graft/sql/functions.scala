@@ -107,6 +107,16 @@ object GraftFunctions {
       (e: Seq[Expression]) => { require(e.length == 2, "gh_covering_polygon(wkt, bits)"); GhCoveringPolygon(cS(e(0)), cI(e(1))) }),
     ("gh_covering_cells", "gh_covering_cells(min_lon, min_lat, max_lon, max_lat, bits) - generator: one row per covering cell",
       (e: Seq[Expression]) => GhCoveringCells(e.take(4).map(cD) :+ cI(e(4)))),
+    ("h3u_cell", "h3u_cell(lon, lat, res) - Uber-H3 bit-compatible cell id",
+      (e: Seq[Expression]) => { require(e.length == 3, "h3u_cell(lon, lat, res)"); H3UCell(cD(e(0)), cD(e(1)), cI(e(2))) }),
+    ("h3u_center", "h3u_center(id) - cell center struct(lon, lat)",
+      (e: Seq[Expression]) => { require(e.length == 1, "h3u_center(id)"); H3UCenter(cL(e(0))) }),
+    ("h3u_parent", "h3u_parent(id, parent_res) - bit-compatible cellToParent",
+      (e: Seq[Expression]) => { require(e.length == 2, "h3u_parent(id, parent_res)"); H3UParent(cL(e(0)), cI(e(1))) }),
+    ("h3u_token", "h3u_token(id) - canonical lowercase-hex H3 index string",
+      (e: Seq[Expression]) => { require(e.length == 1, "h3u_token(id)"); H3UToken(cL(e(0))) }),
+    ("h3u_is_pentagon", "h3u_is_pentagon(id) - true for the 12 pentagon lineages",
+      (e: Seq[Expression]) => { require(e.length == 1, "h3u_is_pentagon(id)"); H3UIsPentagon(cL(e(0))) }),
     ("collect_capped", "collect_capped(v, cap) - agg: sorted group values, NULL when the group exceeds cap",
       (e: Seq[Expression]) => {
         require(e.length == 2 && e(1).foldable, "collect_capped(v, literal cap)")
@@ -192,6 +202,13 @@ object functions {
     call_function("gh_covering_polygon", wkt, lit(bits))
   def collect_capped(v: Column, cap: Int): Column =
     call_function("collect_capped", v, lit(cap))
+  def h3u_cell(lon: Column, lat: Column, res: Int): Column =
+    call_function("h3u_cell", lon, lat, lit(res))
+  def h3u_center(id: Column): Column = call_function("h3u_center", id)
+  def h3u_parent(id: Column, parentRes: Int): Column =
+    call_function("h3u_parent", id, lit(parentRes))
+  def h3u_token(id: Column): Column = call_function("h3u_token", id)
+  def h3u_is_pentagon(id: Column): Column = call_function("h3u_is_pentagon", id)
 }
 
 /** Session factory with graft functions pre-registered and scale-appropriate

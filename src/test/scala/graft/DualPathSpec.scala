@@ -74,6 +74,29 @@ class DualPathSpec extends AnyFunSuite with PropHelper {
     assert(q("q48_h3_cell_join").count() > 0)
   }
 
+  test("q55 h3u cells: EXACT center round trip on every row; goldens + parents bit-compatible") {
+    val rows = q("q55_h3u_cells").collect()
+    assert(rows.nonEmpty)
+    // bit-compatible decode/encode: exact round trip on 100% of rows
+    assert(rows.forall(_.getAs[Boolean]("rt_ok")), "h3u center round-trip must be exact")
+    rows.foreach { r =>
+      val h3 = r.getAs[Long]("h3"); val p = r.getAs[Long]("h3_parent")
+      assert(graft.core.H3U.cellToParent(h3, 4) == p)
+      assert(graft.core.H3U.resolution(p) == 4)
+      assert(r.getAs[String]("token") == java.lang.Long.toHexString(h3))
+      assert(graft.core.H3U.isValid(h3))
+    }
+    // independent second path: every row's id equals the driver-side H3U
+    // encode of the same derived position (exercises codegen vs interpreted)
+    val pos = graft.engine.SpatialOps.withDerivedPosition(
+      spark.read.parquet(s"$sf/customer.parquet").select("c_custkey"), "c_custkey")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (lon, lat) = pos(r.getAs[Long]("c_custkey"))
+      assert(graft.core.H3U.latLngToCell(lat, lon, 7) == r.getAs[Long]("h3"))
+    }
+  }
+
   test("q40 ann lsh: equals a full driver-side reimplementation (buckets + best-k)") {
     import graft.engine.AnnOps
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")

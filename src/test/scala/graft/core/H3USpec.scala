@@ -1,0 +1,85 @@
+package graft.core
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Bit-compatibility validation for [[H3U]] against PUBLISHED H3 values:
+  * golden vectors from the H3 documentation, the pentagon base-cell
+  * placement (checked inside H3U's derivation), and the published
+  * count/structure invariants; plus exhaustive internal round-trips. */
+class H3USpec extends AnyFunSuite {
+
+  test("derivation is conflict-free (calibration cross-checks)") {
+    assert(H3U.calibrationConflicts.isEmpty, H3U.calibrationConflicts.take(5).mkString("; "))
+  }
+
+  test("golden: latLngToCell(37.3615593, -122.0553238, 5) == 85283473fffffff") {
+    assert(H3U.token(H3U.latLngToCell(37.3615593, -122.0553238, 5)) == "85283473fffffff")
+  }
+
+  test("golden: latLngToCell(40.689167, -74.044444, 10) == 8a2a1072b59ffff") {
+    assert(H3U.token(H3U.latLngToCell(40.689167, -74.044444, 10)) == "8a2a1072b59ffff")
+  }
+
+  test("golden: cellToLatLng(85283473fffffff) == (37.3457933754, -121.9763759726)") {
+    val (lat, lng) = H3U.cellToLatLng(H3U.fromToken("85283473fffffff"))
+    assert(math.abs(lat - 37.34579337536848) < 1e-9, s"lat $lat")
+    assert(math.abs(lng - -121.97637597255124) < 1e-9, s"lng $lng")
+  }
+
+  test("res-0: 122 cells, 12 pentagons at published indices, valid ids") {
+    val cells = H3U.res0Cells
+    assert(cells.length == 122)
+    val pents = cells.zipWithIndex.filter { case (c, _) => H3U.isPentagon(c) }.map(_._2)
+    assert(pents.toSeq == Seq(4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117))
+    cells.foreach(c => assert(H3U.isValid(c), H3U.token(c)))
+    // published res-0 token shape, e.g. base cell 20 == 8029fffffffffff
+    assert(H3U.token(cells(20)) == "8029fffffffffff")
+  }
+
+  test("cell counts: 2 + 120*7^res via children expansion (res 0→2)") {
+    val n2 = H3U.res0Cells.map(c => H3U.cellToChildren(c, 2).length.toLong).sum
+    assert(n2 == H3U.numCells(2), s"$n2 != ${H3U.numCells(2)}")
+  }
+
+  test("exhaustive round-trip: encode(center) == id for every cell at res 1..3") {
+    var n = 0
+    H3U.res0Cells.foreach { c0 =>
+      H3U.cellToChildren(c0, 3).foreach { id =>
+        val (lat, lng) = H3U.cellToLatLng(id)
+        val back = H3U.latLngToCell(lat, lng, 3)
+        assert(back == id, s"round trip ${H3U.token(id)} -> ${H3U.token(back)}")
+        n += 1
+      }
+    }
+    assert(n == H3U.numCells(3))
+  }
+
+  test("parent/children: nesting exact, pentagons have 6 children") {
+    H3U.res0Cells.foreach { c0 =>
+      val kids = H3U.cellToChildren(c0, 1)
+      assert(kids.length == (if (H3U.isPentagon(c0)) 6 else 7))
+      kids.foreach(k => assert(H3U.cellToParent(k, 0) == c0))
+    }
+    // SF golden chain: parent at res 0 is base cell 20
+    val sf = H3U.fromToken("85283473fffffff")
+    assert(H3U.token(H3U.cellToParent(sf, 0)) == "8029fffffffffff")
+    assert(H3U.baseCellOf(sf) == 20)
+  }
+
+  test("random points: encode is the nearest-center cell's id, res up to 9") {
+    val rnd = new scala.util.Random(42)
+    (1 to 500).foreach { _ =>
+      val lat = rnd.nextDouble() * 170.0 - 85.0
+      val lng = rnd.nextDouble() * 360.0 - 180.0
+      (0 to 9 by 3).foreach { res =>
+        val id = H3U.latLngToCell(lat, lng, res)
+        assert(H3U.isValid(id), s"invalid id at ($lat, $lng, $res): ${H3U.token(id)}")
+        assert(H3U.resolution(id) == res)
+        // decode must land back in the same cell
+        val (clat, clng) = H3U.cellToLatLng(id)
+        assert(H3U.latLngToCell(clat, clng, res) == id,
+          s"center round trip failed at ($lat, $lng, $res)")
+      }
+    }
+  }
+}
