@@ -981,6 +981,46 @@ object H3U {
     acc
   }
 
+  /** The ≤6 adjacent cells (5 around a pentagon) — computed by one lattice
+    * step + overage canonicalization + re-encode of the neighbor's center,
+    * NOT by the published neighbor-rotation tables (whose 4×49 digit
+    * matrices are not available here); the ID SET is identical, the
+    * traversal order is not guaranteed to match H3's gridDisk order. */
+  def neighbors(id: Long): Array[Long] = {
+    val res = resolution(id)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](6)
+    var d = 1
+    while (d < 7) {
+      val f = h3ToFaceIjk(id)
+      neighborMove(f.coord, d)
+      // same class-II substrate dance as decode for the face crossing
+      var r2 = res
+      if (isClassIII(r2)) { downAp7r(f.coord); r2 += 1 }
+      while (adjustOverage(f, r2, pentLeading4 = false) != NoOverage) {}
+      if (r2 != res) upAp7r(f.coord)
+      val g = faceIjkToGeo(f, res)
+      val n = latLngToCell(math.toDegrees(g(0)), math.toDegrees(g(1)), res)
+      if (n != id && !out.contains(n)) out += n
+      d += 1
+    }
+    out.toArray
+  }
+
+  /** All cells within grid distance k (BFS over [[neighbors]]) — the
+    * gridDisk SET (ordering not H3-canonical; see [[neighbors]]). */
+  def gridDisk(id: Long, k: Int): Array[Long] = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    val seen = scala.collection.mutable.LinkedHashSet(id)
+    var frontier: Set[Long] = Set(id)
+    var i = 0
+    while (i < k) {
+      frontier = frontier.flatMap(neighbors(_)).filterNot(seen)
+      seen ++= frontier
+      i += 1
+    }
+    seen.toArray
+  }
+
   /** All 122 res-0 cell ids, in base-cell order. */
   def res0Cells: Array[Long] = Array.tabulate(NumBaseCells)(initId(0, _))
 

@@ -811,3 +811,15 @@ case class H3UIsPentagon(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, i => s"graft.core.H3U.isPentagon($i)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** h3u_disk(id, k) → ARRAY<LONG> — all Uber-H3-compatible cells within grid
+  * distance k (gridDisk SET; traversal order not H3-canonical). */
+case class H3UDisk(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "h3u_disk"
+  override def nullSafeEval(id: Any, k: Any): Any =
+    new GenericArrayData(graft.core.H3U.gridDisk(id.asInstanceOf[Long], k.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

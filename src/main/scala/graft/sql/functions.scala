@@ -117,6 +117,8 @@ object GraftFunctions {
       (e: Seq[Expression]) => { require(e.length == 1, "h3u_token(id)"); H3UToken(cL(e(0))) }),
     ("h3u_is_pentagon", "h3u_is_pentagon(id) - true for the 12 pentagon lineages",
       (e: Seq[Expression]) => { require(e.length == 1, "h3u_is_pentagon(id)"); H3UIsPentagon(cL(e(0))) }),
+    ("h3u_disk", "h3u_disk(id, k) - all cells within grid distance k (gridDisk set)",
+      (e: Seq[Expression]) => { require(e.length == 2, "h3u_disk(id, k)"); H3UDisk(cL(e(0)), cI(e(1))) }),
     ("collect_capped", "collect_capped(v, cap) - agg: sorted group values, NULL when the group exceeds cap",
       (e: Seq[Expression]) => {
         require(e.length == 2 && e(1).foldable, "collect_capped(v, literal cap)")
@@ -209,6 +211,7 @@ object functions {
     call_function("h3u_parent", id, lit(parentRes))
   def h3u_token(id: Column): Column = call_function("h3u_token", id)
   def h3u_is_pentagon(id: Column): Column = call_function("h3u_is_pentagon", id)
+  def h3u_disk(id: Column, k: Int): Column = call_function("h3u_disk", id, lit(k))
 }
 
 /** Session factory with graft functions pre-registered and scale-appropriate

@@ -66,6 +66,28 @@ class H3USpec extends AnyFunSuite {
     assert(H3U.baseCellOf(sf) == 20)
   }
 
+  test("golden: gridDisk(8928308280fffff, 1) is the published 7-cell set") {
+    val got = H3U.gridDisk(H3U.fromToken("8928308280fffff"), 1).map(H3U.token).toSet
+    val published = Set("8928308280fffff", "8928308280bffff", "89283082873ffff",
+      "89283082877ffff", "8928308283bffff", "89283082807ffff", "89283082803ffff")
+    assert(got == published, s"got $got")
+  }
+
+  test("neighbors: 6 per hex (5 per pentagon), symmetric, distance-1 disks nest") {
+    val rnd = new scala.util.Random(7)
+    (1 to 60).foreach { _ =>
+      val id = H3U.latLngToCell(rnd.nextDouble() * 160 - 80, rnd.nextDouble() * 360 - 180, 6)
+      val ns = H3U.neighbors(id)
+      assert(ns.length == (if (H3U.isPentagon(id)) 5 else 6), H3U.token(id))
+      ns.foreach(n => assert(H3U.neighbors(n).contains(id),
+        s"asymmetric: ${H3U.token(id)} / ${H3U.token(n)}"))
+    }
+    // pentagon disks: 1 + 5 at k=1
+    val pent = H3U.cellToChildren(H3U.res0Cells(38), 4)
+      .find(H3U.isPentagon).get
+    assert(H3U.gridDisk(pent, 1).length == 6)
+  }
+
   test("random points: encode is the nearest-center cell's id, res up to 9") {
     val rnd = new scala.util.Random(42)
     (1 to 500).foreach { _ =>
