@@ -244,6 +244,16 @@ object SparkEntry {
           gf.h3_cell(col("h3_center.lon"), col("h3_center.lat"), 5) === col("h3"))
         .select("c_custkey", "h3", "h3_parent", "is_vertex", "rt_ok")
     },
+    "q56_h3u_box" -> gq { (s, dir) =>
+      // box query keyed by BIT-COMPATIBLE H3 cells: conservative polyfill
+      // covering (broadcast) + exact refine. The refine makes the result
+      // exactly the box contents, so this is the H3 path's first
+      // ORACLE-EXACT query (plain range WHERE in DuckDB).
+      SpatialOps.boxQueryH3(
+        SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey"),
+        "lon", "lat", londonBox, 7)
+        .select("c_custkey", "lon", "lat")
+    },
     "q55_h3u_cells" -> gq { (s, dir) =>
       // Uber-H3 BIT-COMPATIBLE cells (graft.core.H3U; published golden
       // vectors pin the id layout in H3USpec — no SQL oracle is possible,
@@ -514,6 +524,10 @@ object SparkEntry {
            | _s AS (SELECT ${tileSql("_gx", "_gy", 20)} AS tile, count(*) AS n_supp FROM _sidx GROUP BY 1)
            | SELECT _c.tile AS tile, n_cust, n_supp FROM _c JOIN _s ON _c.tile = _s.tile""".stripMargin.replace("\n", " ")
       },
+      "q56_h3u_box" ->
+        s"""$custIdx SELECT c_custkey, _lon AS lon, _lat AS lat FROM _idx
+           | WHERE _lon >= ${londonBox.minLon} AND _lon <= ${londonBox.maxLon}
+           |   AND _lat >= ${londonBox.minLat} AND _lat <= ${londonBox.maxLat}""".stripMargin.replace("\n", " "),
       "q54_range_join" -> {
         val suppIdx =
           s"""_spts AS (SELECT s_suppkey, ${lonSql("s_suppkey")} AS _lon, ${latSql("s_suppkey")} AS _lat FROM supplier),

@@ -1021,6 +1021,70 @@ object H3U {
     seen.toArray
   }
 
+  /** Upper bound on center-to-center pitch (radians) at a resolution: the
+    * lattice spacing is largest at a face center (gnomonic stretches the
+    * projection there), one hex2d unit → atan(Res0UGnomonic) / √7^res. */
+  def maxPitchRad(res: Int): Double = {
+    var p = math.atan(Res0UGnomonic)
+    var i = 0
+    while (i < res) { p /= Sqrt7; i += 1 }
+    p
+  }
+
+  /** Conservative covering of a lon/lat box (degrees) at `res`: every point
+    * inside the box encodes to a cell in the returned set (extra boundary
+    * cells may be included — callers refine exactly, the same join contract
+    * as Geohash.covering). BFS flood fill over [[neighbors]] from the box
+    * center, keeping cells whose center lies within the box expanded by one
+    * full cell pitch (≥ any cell circumradius, so no containing cell is
+    * missed). Box must not wrap (minLon ≤ maxLon); wrapped boxes are two
+    * calls unioned by the caller. */
+  def polyfillBox(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
+                  res: Int, maxCells: Int = 1 << 20): Array[Long] = {
+    require(minLon <= maxLon && minLat <= maxLat,
+      s"polyfillBox needs a non-wrapped box, got ($minLon,$minLat,$maxLon,$maxLat)")
+    val padDeg = math.toDegrees(maxPitchRad(res))
+    val latPadLo = math.max(-90.0, minLat - padDeg)
+    val latPadHi = math.min(90.0, maxLat + padDeg)
+    // lon pad widens with latitude; at the pole-adjacent band just take all
+    val maxAbsLat = math.max(math.abs(latPadLo), math.abs(latPadHi))
+    val lonPad =
+      if (maxAbsLat >= 89.0) 180.0
+      else padDeg / math.cos(math.toRadians(maxAbsLat))
+    val lonLo = minLon - lonPad
+    val lonHi = maxLon + lonPad
+    def inside(latDeg: Double, lonDeg: Double): Boolean = {
+      if (latDeg < latPadLo || latDeg > latPadHi) return false
+      if (lonHi - lonLo >= 360.0) return true
+      // compare in the box's own lon frame (handles pad spilling over ±180)
+      var l = lonDeg
+      while (l < lonLo) l += 360.0
+      while (l >= lonLo + 360.0) l -= 360.0
+      l <= lonHi
+    }
+    val start = latLngToCell((minLat + maxLat) / 2.0, (minLon + maxLon) / 2.0, res)
+    val seen = scala.collection.mutable.LinkedHashSet(start)
+    var frontier: Seq[Long] = Seq(start)
+    while (frontier.nonEmpty) {
+      val next = scala.collection.mutable.ArrayBuffer[Long]()
+      frontier.foreach { c =>
+        neighbors(c).foreach { n =>
+          if (!seen(n)) {
+            val (la, lo) = cellToLatLng(n)
+            if (inside(la, lo)) {
+              seen += n
+              require(seen.size <= maxCells,
+                s"polyfillBox would produce > $maxCells cells; use a coarser res")
+              next += n
+            }
+          }
+        }
+      }
+      frontier = next.toSeq
+    }
+    seen.toArray
+  }
+
   /** All 122 res-0 cell ids, in base-cell order. */
   def res0Cells: Array[Long] = Array.tabulate(NumBaseCells)(initId(0, _))
 

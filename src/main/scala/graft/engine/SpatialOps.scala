@@ -79,6 +79,33 @@ object SpatialOps {
       .drop("__cell", "__minLon", "__minLat", "__maxLon", "__maxLat")
   }
 
+  /** Box query on the Uber-H3 index: conservative H3 covering (broadcast) ⋈
+    * h3u_cell(points), then exact refine — the same covering-join contract
+    * as [[boxQuery]] but keyed by hexagonal cells, so tables tiled/bucketed
+    * by H3 need no geohash column. Anti-meridian boxes (minLon > maxLon)
+    * split into two polyfills, like Geohash.covering's wrap handling. */
+  def boxQueryH3(points: DataFrame, lonCol: String, latCol: String,
+                 box: BBox, res: Int, refine: Boolean = true): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val cells =
+      if (box.minLon <= box.maxLon)
+        graft.core.H3U.polyfillBox(box.minLon, box.minLat, box.maxLon, box.maxLat, res)
+      else
+        (graft.core.H3U.polyfillBox(box.minLon, box.minLat, 180.0, box.maxLat, res) ++
+         graft.core.H3U.polyfillBox(-180.0, box.minLat, box.maxLon, box.maxLat, res)).distinct
+    val cellsDf = cells.toSeq.toDF("__h3")
+    val keyed = points.withColumn("__h3", gf.h3u_cell(col(lonCol), col(latCol), res))
+    val joined = keyed.join(broadcast(cellsDf), "__h3").drop("__h3")
+    if (!refine) joined
+    else {
+      val lonPred =
+        if (box.minLon <= box.maxLon) col(lonCol) >= box.minLon && col(lonCol) <= box.maxLon
+        else col(lonCol) >= box.minLon || col(lonCol) <= box.maxLon
+      joined.where(lonPred && col(latCol) >= box.minLat && col(latCol) <= box.maxLat)
+    }
+  }
+
   /** Mixed-precision cell join (SURVEY.md §10.4 range join): every FINE-cell
     * row joins the COARSE-cell row whose prefix contains it. The
     * child-to-ancestor range predicate (coarse ≤ fine < coarse+1 in key

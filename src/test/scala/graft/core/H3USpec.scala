@@ -88,6 +88,22 @@ class H3USpec extends AnyFunSuite {
     assert(H3U.gridDisk(pent, 1).length == 6)
   }
 
+  test("polyfillBox: sound covering — every sampled box point's cell is in the set") {
+    val rnd = new scala.util.Random(11)
+    (1 to 10).foreach { _ =>
+      val lon0 = rnd.nextDouble() * 330.0 - 170.0
+      val lat0 = rnd.nextDouble() * 130.0 - 70.0
+      val w = rnd.nextDouble() * 4.0 + 0.5
+      val h = rnd.nextDouble() * 4.0 + 0.5
+      val cells = H3U.polyfillBox(lon0, lat0, math.min(180.0, lon0 + w), lat0 + h, 5).toSet
+      (1 to 200).foreach { _ =>
+        val lon = math.min(180.0, lon0 + rnd.nextDouble() * w)
+        val lat = lat0 + rnd.nextDouble() * h
+        assert(cells(H3U.latLngToCell(lat, lon, 5)), s"($lon, $lat) not covered")
+      }
+    }
+  }
+
   test("random points: encode is the nearest-center cell's id, res up to 9") {
     val rnd = new scala.util.Random(42)
     (1 to 500).foreach { _ =>
