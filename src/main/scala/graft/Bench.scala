@@ -71,6 +71,14 @@ object BenchWork {
     BBox(150.75, -34.25, 151.75, -33.25), BBox(10.0, 40.0, 20.0, 50.0),
     BBox(178.0, -45.0, -178.0, 45.0), BBox(-120.0, 30.0, -100.0, 45.0))
 
+  /** Bench-side image_id generation: byte identical to ImageGen.idOf
+    * ("img%012d") but via codegen'd concat+lpad instead of format_string —
+    * java.util.Formatter allocates enough per row that at 32 threads the
+    * GENERATOR's GC pressure, not the engine's derive+encode path, was the
+    * scaling bottleneck being measured. Production reads ids from parquet. */
+  def benchImageId(id: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    concat(lit("img"), lpad(id.cast("string"), 12, "0")).as("image_id")
+
   /** Returns metric name → value (rows/sec or sec). Each stage is the
     * median of `iters` runs; positions are derived in-flight (at 10¹² rows
     * the input scan is the analogous cost — `bytes` stays pruned out). The
@@ -92,7 +100,7 @@ object BenchWork {
     locally {
       import spark.implicits._
       graft.data.Images.withTile(
-        spark.range(100000).select(format_string("img%012d", $"id").as("image_id")), 30)
+        spark.range(100000).select(benchImageId($"id")), 30)
         .write.format("noop").mode("overwrite").save()
     }
 
@@ -106,7 +114,7 @@ object BenchWork {
     // key-derived-position twin used by the oracle queries.
     val imgIds = {
       import spark.implicits._
-      spark.range(rows).select(format_string("img%012d", $"id").as("image_id"))
+      spark.range(rows).select(benchImageId($"id"))
     }
     val tImgTile = medianOf {
       graft.data.Images.withTile(imgIds, 30)
