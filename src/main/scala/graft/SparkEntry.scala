@@ -254,6 +254,24 @@ object SparkEntry {
         "lon", "lat", londonBox, 7)
         .select("c_custkey", "lon", "lat")
     },
+    "q57_h3u_pip" -> gq { (s, dir) =>
+      // index-accelerated PIP on the BIT-COMPATIBLE H3 index: conservative
+      // polyfill of the polygon's bbox prefilters via broadcast equi-join
+      // on h3u_cell; exact ray-cast refines — q08 semantics, H3 physical
+      // path (oracle-exact like q18)
+      import s.implicits._
+      val rings = graft.core.GeoMath.parseWktPolygon(franceWkt)
+      val outer = rings.head
+      val lons = outer.indices.collect { case i if i % 2 == 0 => outer(i) }
+      val lats = outer.indices.collect { case i if i % 2 == 1 => outer(i) }
+      val cells = graft.core.H3U.polyfillBox(lons.min, lats.min, lons.max, lats.max, 5)
+        .toSeq.toDF("__h3")
+      val pts = SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey")
+      pts.withColumn("__h3", gf.h3u_cell(col("lon"), col("lat"), 5))
+        .join(broadcast(cells), "__h3").drop("__h3")
+        .where(gf.st_contains_wkt(lit(franceWkt), col("lon"), col("lat")))
+        .select("c_custkey", "lon", "lat")
+    },
     "q55_h3u_cells" -> gq { (s, dir) =>
       // Uber-H3 BIT-COMPATIBLE cells (graft.core.H3U; published golden
       // vectors pin the id layout in H3USpec — no SQL oracle is possible,
@@ -524,6 +542,9 @@ object SparkEntry {
            | _s AS (SELECT ${tileSql("_gx", "_gy", 20)} AS tile, count(*) AS n_supp FROM _sidx GROUP BY 1)
            | SELECT _c.tile AS tile, n_cust, n_supp FROM _c JOIN _s ON _c.tile = _s.tile""".stripMargin.replace("\n", " ")
       },
+      "q57_h3u_pip" -> // same semantics as q08 (H3-indexed physical path)
+        s"""$custIdx SELECT c_custkey, _lon AS lon, _lat AS lat FROM _idx
+           | WHERE ${pipSql("_lon", "_lat", franceQuad)}""".stripMargin.replace("\n", " "),
       "q56_h3u_box" ->
         s"""$custIdx SELECT c_custkey, _lon AS lon, _lat AS lat FROM _idx
            | WHERE _lon >= ${londonBox.minLon} AND _lon <= ${londonBox.maxLon}

@@ -490,11 +490,17 @@ object H3U {
   private final val NoOverage = 0
   private final val NewFace = 1
 
-  /** Published _adjustOverageClassII (non-substrate form): move coords that
-    * overflow a face onto the adjacent face. res must be Class II. */
-  private def adjustOverage(fijk: FaceIJK, res: Int, pentLeading4: Boolean): Int = {
-    val maxDim = 2 * pow7(res / 2)
+  private final val FaceEdge = 2
+
+  /** Published _adjustOverageClassII: move coords that overflow a face onto
+    * the adjacent face. res must be Class II; `substrate` triples the grid
+    * (the 3x-finer vertex lattice used by cell boundaries). */
+  private def adjustOverage(fijk: FaceIJK, res: Int, pentLeading4: Boolean,
+                            substrate: Boolean = false): Int = {
+    var maxDim = 2 * pow7(res / 2)
+    if (substrate) maxDim *= 3
     val ijk = fijk.coord
+    if (substrate && ijk.sum == maxDim) return FaceEdge
     if (ijk.sum <= maxDim) return NoOverage
     val orient =
       if (ijk.k > 0) {
@@ -517,10 +523,10 @@ object H3U {
     var i = 0
     while (i < orient.ccwRot60) { ijkRotate60ccw(ijk); i += 1 }
     val trans = new IJK(orient.transI, orient.transJ, orient.transK)
-    ijkScale(trans, pow7(res / 2))
+    ijkScale(trans, if (substrate) 3 * pow7(res / 2) else pow7(res / 2))
     ijkAdd(ijk, trans, ijk)
     ijkNormalize(ijk)
-    NewFace
+    if (substrate && ijk.sum == maxDim) FaceEdge else NewFace
   }
 
   @inline private def pow7(n: Int): Int = {
@@ -1083,6 +1089,66 @@ object H3U {
       frontier = next.toSeq
     }
     seen.toArray
+  }
+
+  // aperture-3 substrate scalings (published _downAp3 / _downAp3r)
+  private def downAp3(c: IJK): Unit = { // i→(2,0,1) j→(1,2,0) k→(0,1,2)
+    val ni = 2 * c.i + c.j
+    val nj = 2 * c.j + c.k
+    val nk = c.i + 2 * c.k
+    c.set(ni, nj, nk); ijkNormalize(c)
+  }
+  private def downAp3r(c: IJK): Unit = { // i→(2,1,0) j→(0,2,1) k→(1,0,2)
+    val ni = 2 * c.i + c.k
+    val nj = c.i + 2 * c.j
+    val nk = c.j + 2 * c.k
+    c.set(ni, nj, nk); ijkNormalize(c)
+  }
+
+  // origin-centered cell vertex offsets on the 33r (Class II) / 33r7r
+  // (Class III) substrate grids — published vertsCII / vertsCIII
+  private val vertsCII = Array(
+    new IJK(2, 1, 0), new IJK(1, 2, 0), new IJK(0, 2, 1),
+    new IJK(0, 1, 2), new IJK(1, 0, 2), new IJK(2, 0, 1))
+  private val vertsCIII = Array(
+    new IJK(5, 4, 0), new IJK(1, 5, 0), new IJK(0, 5, 4),
+    new IJK(0, 1, 5), new IJK(4, 0, 5), new IJK(5, 0, 1))
+
+  /** The cell's boundary vertices as (lat°, lng°), ccw — the published
+    * substrate-grid construction (center into the aperture-33r[7r] grid,
+    * add vertex offsets, overage-adjust each vertex onto its true face,
+    * inverse-project). Returns the 6 (5 for pentagons) TOPOLOGICAL
+    * corners; the extra icosa-edge distortion vertices H3's cellToBoundary
+    * inserts for Class III cells crossing a face edge are NOT inserted, so
+    * hexagons spanning an icosahedron edge are approximated by their
+    * corner polygon. */
+  def cellToBoundary(id: Long): Array[(Double, Double)] = {
+    val res = resolution(id)
+    val center = h3ToFaceIjk(id)
+    var adjRes = res
+    // center into the substrate grid
+    downAp3(center.coord)
+    downAp3r(center.coord)
+    if (isClassIII(res)) { downAp7r(center.coord); adjRes += 1 }
+    val offs = if (isClassIII(res)) vertsCIII else vertsCII
+    val out = new scala.collection.mutable.ArrayBuffer[(Double, Double)](6)
+    var v = 0
+    while (v < 6) {
+      val fv = new FaceIJK(center.face, new IJK(0, 0, 0))
+      ijkAdd(center.coord, offs(v), fv.coord)
+      ijkNormalize(fv.coord)
+      var guard = 0
+      while (adjustOverage(fv, adjRes, pentLeading4 = false, substrate = true) == NewFace &&
+             guard < 4) guard += 1
+      val h2 = ijkToHex2d(fv.coord)
+      val g = hex2dToGeo(fv.face, h2(0), h2(1), adjRes, substrate = true)
+      val pt = (math.toDegrees(g(0)), math.toDegrees(constrainLng(g(1))))
+      // pentagons fold two substrate corners onto one point — dedup
+      if (!out.exists(p => math.abs(p._1 - pt._1) < 1e-9 &&
+                           math.abs(p._2 - pt._2) < 1e-9)) out += pt
+      v += 1
+    }
+    out.toArray
   }
 
   /** All 122 res-0 cell ids, in base-cell order. */

@@ -823,3 +823,28 @@ case class H3UDisk(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** h3u_boundary_wkt(id) → STRING — the cell's corner polygon as WKT
+  * (lon lat order, closed ring), for interop with the st_* functions and
+  * external GIS tools. */
+case class H3UBoundaryWkt(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "h3u_boundary_wkt"
+  override def nullSafeEval(id: Any): Any = {
+    val b = graft.core.H3U.cellToBoundary(id.asInstanceOf[Long])
+    val ring = (b :+ b.head).map { case (lat, lon) => s"$lon $lat" }.mkString(", ")
+    UTF8String.fromString(s"POLYGON (($ring))")
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, i =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.sql.H3UBoundaryWkt.wkt($i))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+object H3UBoundaryWkt {
+  /** static form for codegen */
+  def wkt(id: Long): String = {
+    val b = graft.core.H3U.cellToBoundary(id)
+    val ring = (b :+ b.head).map { case (lat, lon) => s"$lon $lat" }.mkString(", ")
+    s"POLYGON (($ring))"
+  }
+}

@@ -119,6 +119,8 @@ object GraftFunctions {
       (e: Seq[Expression]) => { require(e.length == 1, "h3u_is_pentagon(id)"); H3UIsPentagon(cL(e(0))) }),
     ("h3u_disk", "h3u_disk(id, k) - all cells within grid distance k (gridDisk set)",
       (e: Seq[Expression]) => { require(e.length == 2, "h3u_disk(id, k)"); H3UDisk(cL(e(0)), cI(e(1))) }),
+    ("h3u_boundary_wkt", "h3u_boundary_wkt(id) - cell corner polygon as WKT",
+      (e: Seq[Expression]) => { require(e.length == 1, "h3u_boundary_wkt(id)"); H3UBoundaryWkt(cL(e(0))) }),
     ("collect_capped", "collect_capped(v, cap) - agg: sorted group values, NULL when the group exceeds cap",
       (e: Seq[Expression]) => {
         require(e.length == 2 && e(1).foldable, "collect_capped(v, literal cap)")
@@ -212,6 +214,7 @@ object functions {
   def h3u_token(id: Column): Column = call_function("h3u_token", id)
   def h3u_is_pentagon(id: Column): Column = call_function("h3u_is_pentagon", id)
   def h3u_disk(id: Column, k: Int): Column = call_function("h3u_disk", id, lit(k))
+  def h3u_boundary_wkt(id: Column): Column = call_function("h3u_boundary_wkt", id)
 }
 
 /** Session factory with graft functions pre-registered and scale-appropriate

@@ -88,6 +88,60 @@ class H3USpec extends AnyFunSuite {
     assert(H3U.gridDisk(pent, 1).length == 6)
   }
 
+  test("cellToBoundary: 6/5 corners, tiles the sphere (res-1 area sum == 4π)") {
+    def xyz(p: (Double, Double)) = {
+      val la = math.toRadians(p._1); val lo = math.toRadians(p._2)
+      Array(math.cos(la) * math.cos(lo), math.cos(la) * math.sin(lo), math.sin(la))
+    }
+    def sub(a: Array[Double], b: Array[Double], s: Double) =
+      Array(a(0) - b(0) * s, a(1) - b(1) * s, a(2) - b(2) * s)
+    def dot(a: Array[Double], b: Array[Double]) = a(0) * b(0) + a(1) * b(1) + a(2) * b(2)
+    def norm(a: Array[Double]) = {
+      val m = math.sqrt(dot(a, a)); Array(a(0) / m, a(1) / m, a(2) / m)
+    }
+    // spherical polygon area by angle excess (convex cells)
+    def area(vs: Array[(Double, Double)]): Double = {
+      val p = vs.map(xyz); val n = p.length
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        val a = p((i + n - 1) % n); val b = p(i); val c = p((i + 1) % n)
+        val u = norm(sub(a, b, dot(a, b))); val v = norm(sub(c, b, dot(c, b)))
+        s += math.acos(math.max(-1.0, math.min(1.0, dot(u, v))))
+        i += 1
+      }
+      s - (n - 2) * math.Pi
+    }
+    var total = 0.0
+    H3U.res0Cells.foreach { c0 =>
+      H3U.cellToChildren(c0, 1).foreach { id =>
+        val b = H3U.cellToBoundary(id)
+        assert(b.length == (if (H3U.isPentagon(id)) 5 else 6),
+          s"${H3U.token(id)} has ${b.length} corners")
+        val a = area(b)
+        assert(a > 0.0, s"${H3U.token(id)} non-ccw/degenerate boundary")
+        total += a
+      }
+    }
+    assert(math.abs(total - 4.0 * math.Pi) < 0.01 * 4.0 * math.Pi,
+      s"res-1 cells cover $total sr, expected ${4 * math.Pi}")
+  }
+
+  test("cellToBoundary: corners shared with adjacent cells (within lattice tolerance)") {
+    val rnd = new scala.util.Random(3)
+    (1 to 30).foreach { _ =>
+      val id = H3U.latLngToCell(rnd.nextDouble() * 160 - 80, rnd.nextDouble() * 360 - 180, 5)
+      val mine = H3U.cellToBoundary(id)
+      val neighborCorners = H3U.neighbors(id).flatMap(H3U.cellToBoundary)
+      // every corner of this cell coincides with a corner of ≥2 neighbors
+      mine.foreach { c =>
+        val hits = neighborCorners.count(p =>
+          math.abs(p._1 - c._1) < 1e-7 && math.abs(p._2 - c._2) < 1e-7)
+        assert(hits >= 2, s"corner $c of ${H3U.token(id)} shared with only $hits")
+      }
+    }
+  }
+
   test("polyfillBox: sound covering — every sampled box point's cell is in the set") {
     val rnd = new scala.util.Random(11)
     (1 to 10).foreach { _ =>
