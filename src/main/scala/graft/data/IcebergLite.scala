@@ -49,6 +49,9 @@ object IcebergLite {
   val PropPrefixBits = "tile.prefix.bits"
   val PropLonCol = "tile.lon.col"
   val PropLatCol = "tile.lat.col"
+  /** "gh" (Morton geohash, default) or "h3u" (Uber-H3-compatible cells);
+    * selects which covering DeriveCoveringPrune derives. */
+  val PropIndexType = "tile.index"
 
   private def manifestDir(table: String) = Paths.get(table, "_manifests")
   private def currentPtr(table: String) = Paths.get(table, "_manifests", "CURRENT")
@@ -180,7 +183,24 @@ object IcebergLite {
       .withColumn("tile", graft.sql.functions.gh_encode(col(lonCol), col(latCol), tileBits))
       .withColumn(prefixCol, graft.sql.functions.gh_parent(col("tile"), tileBits, prefixBits))
     write(tiled, table, prefixCol, properties = Map(
-      PropPrefixBits -> prefixBits.toString, PropLonCol -> lonCol, PropLatCol -> latCol))
+      PropPrefixBits -> prefixBits.toString, PropLonCol -> lonCol, PropLatCol -> latCol,
+      PropIndexType -> "gh"))
+  }
+
+  /** [[writeTiled]] on the Uber-H3-compatible index: `tile` =
+    * h3u_cell(lon, lat, tileRes), partition prefix = its ancestor at
+    * prefixRes. DeriveCoveringPrune reads the recorded index type and
+    * derives an H3 polyfill IN-list for bare box / PIP filters, exactly as
+    * it derives a Morton covering for "gh" tables. */
+  def writeTiledH3(df: DataFrame, table: String, lonCol: String, latCol: String,
+                   tileRes: Int, prefixRes: Int,
+                   prefixCol: String = "tile_p"): Manifest = {
+    val tiled = df
+      .withColumn("tile", graft.sql.functions.h3u_cell(col(lonCol), col(latCol), tileRes))
+      .withColumn(prefixCol, graft.sql.functions.h3u_parent(col("tile"), prefixRes))
+    write(tiled, table, prefixCol, properties = Map(
+      PropPrefixBits -> prefixRes.toString, PropLonCol -> lonCol, PropLatCol -> latCol,
+      PropIndexType -> "h3u"))
   }
 
   /** Reference `GeoHash.update` (SURVEY.md §3.2 #16): REPLACE the contents

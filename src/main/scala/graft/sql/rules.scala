@@ -92,17 +92,38 @@ object DeriveCoveringPrune extends Rule[LogicalPlan] {
               case _ => false
             }
             box <- boundsOf(conjuncts, lonAttr, latAttr)
-            // size pre-check: a huge covering is a plan-bloat, not a prune.
-            // +1 column: covering() appends the west column when maxLon ≥ 180
-            // (rows at exactly 180 encode wrapped), which gridProperties'
-            // count does not include
-            (_, cx, cy) = Geohash.gridProperties(box._1, box._2, box._3, box._4, bits)
-            if (cx + 1) * cy <= MaxInCells
-            cells = Geohash.covering(box._1, box._2, box._3, box._4, bits, MaxInCells)
+            cells <- coveringCells(m, box, bits)
             inList = In(prefixAttr, cells.toSeq.map(cellLiteral(_, prefixAttr))).asInstanceOf[Expression]
           } yield Filter(And(cond, inList), l)).getOrElse(f)
         case None => f
       }
+  }
+
+  /** The partition-prefix covering of the box under the table's RECORDED
+    * index ("gh" Morton geohash, the default, or "h3u" Uber-H3 cells from
+    * [[graft.data.IcebergLite.writeTiledH3]]). None when the covering would
+    * exceed [[MaxInCells]] (a huge IN-list is plan bloat, not a prune) —
+    * geohash pre-checks via gridProperties (+1 column for covering()'s
+    * west-column union at maxLon ≥ 180), H3 bounds the polyfill BFS. */
+  private def coveringCells(m: graft.data.IcebergLite.Manifest,
+                            box: (Double, Double, Double, Double),
+                            bits: Int): Option[Array[Long]] = {
+    val (minLon, minLat, maxLon, maxLat) = box
+    m.properties.getOrElse(graft.data.IcebergLite.PropIndexType, "gh") match {
+      case "h3u" =>
+        try Some {
+          if (minLon <= maxLon)
+            graft.core.H3U.polyfillBox(minLon, minLat, maxLon, maxLat, bits, MaxInCells)
+          else
+            (graft.core.H3U.polyfillBox(minLon, minLat, 180.0, maxLat, bits, MaxInCells) ++
+             graft.core.H3U.polyfillBox(-180.0, minLat, maxLon, maxLat, bits, MaxInCells)).distinct
+        } catch { case _: IllegalArgumentException => None } // covering too large
+      case _ =>
+        val (_, cx, cy) = Geohash.gridProperties(minLon, minLat, maxLon, maxLat, bits)
+        if ((cx + 1) * cy <= MaxInCells)
+          Some(Geohash.covering(minLon, minLat, maxLon, maxLat, bits, MaxInCells))
+        else None
+    }
   }
 
   private def attrOf(l: LogicalRelation, name: String): Option[AttributeReference] =
