@@ -98,6 +98,15 @@ object SparkEntry {
         .withColumn("rnk", col("rank").cast("bigint")) // DuckDB row_number is BIGINT
         .select("qid", "rnk", "c_custkey")
     },
+    "q58_h3u_knn" -> gq { (s, dir) =>
+      // ring-expansion kNN on the BIT-COMPATIBLE H3 index (gridDisk
+      // shells) — exact, so it shares q07's brute-force oracle
+      SpatialOps.knnRingH3(
+        SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey"),
+        "lon", "lat", 1, knnQueries.head._2, knnQueries.head._3, 10, 7, "c_custkey")
+        .withColumn("rnk", col("rank").cast("bigint"))
+        .select("qid", "rnk", "c_custkey")
+    },
     "q07_knn_ring" -> gq { (s, dir) =>
       // cell-ring-expansion kNN (north_star op) — exact, so it shares the
       // brute-force oracle for query point 1
@@ -572,6 +581,16 @@ object SparkEntry {
            | SELECT qid, rnk, c_custkey FROM _r WHERE rnk <= 10""".stripMargin.replace("\n", " ")
       },
       "q07_knn_ring" -> {
+        val (q, x, y) = knnQueries.head
+        s"""$custIdx, _d AS (
+           |   SELECT $q AS qid, c_custkey,
+           |          (_lon - $x) * (_lon - $x) + (_lat - $y) * (_lat - $y) AS dist
+           |   FROM _idx),
+           | _r AS (SELECT qid, c_custkey,
+           |          row_number() OVER (ORDER BY dist ASC, c_custkey ASC) AS rnk FROM _d)
+           | SELECT qid, rnk, c_custkey FROM _r WHERE rnk <= 10""".stripMargin.replace("\n", " ")
+      },
+      "q58_h3u_knn" -> { // exact kNN — same oracle as q07, H3 physical path
         val (q, x, y) = knnQueries.head
         s"""$custIdx, _d AS (
            |   SELECT $q AS qid, c_custkey,

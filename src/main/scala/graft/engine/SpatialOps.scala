@@ -163,7 +163,6 @@ object SpatialOps {
                         scanCells: Seq[Long] => DataFrame,
                         countCells: Seq[Long] => Long,
                         totalRows: Long): DataFrame = {
-    import spark.implicits._
     val center = Geohash.encode(qLon, qLat, bits)
     val cellMin = math.min(Geohash.cellWidth(bits), Geohash.cellHeight(bits))
     val cx = Geohash.cellX(center, bits); val cy = Geohash.cellY(center, bits)
@@ -187,6 +186,23 @@ object SpatialOps {
       cells.toSeq
     }
 
+    knnExpandCore(spark, lonCol, latCol, qLon, qLat, k, tieCol,
+      ringCells, cellMin, math.max(nx, ny), scanCells, countCells, totalRows)
+  }
+
+  /** Index-agnostic ring-expansion kNN core: grow rings until ≥k candidates
+    * exist, extend to every ring intersecting the k-th-distance disc
+    * (ring × cellMinDeg ≥ d guarantees coverage), exact top-k. The ring
+    * generator and the per-ring minimum cell dimension (in the degree
+    * metric) come from the index (Morton grid rings or H3 gridDisk rings). */
+  private def knnExpandCore(spark: org.apache.spark.sql.SparkSession,
+                            lonCol: String, latCol: String,
+                            qLon: Double, qLat: Double, k: Int, tieCol: String,
+                            ringCells: Long => Seq[Long], cellMin: Double, maxRings: Long,
+                            scanCells: Seq[Long] => DataFrame,
+                            countCells: Seq[Long] => Long,
+                            totalRows: Long): DataFrame = {
+    import spark.implicits._
     var r = 0L
     var accCells = Seq.empty[Long]
     var found = 0L
@@ -194,7 +210,7 @@ object SpatialOps {
     // without this bound an empty table would expand ring-by-ring to the
     // whole grid, one count job per ring)
     val target = math.min(k.toLong, totalRows)
-    while (found < target && r < math.max(nx, ny)) {
+    while (found < target && r < maxRings) {
       // distinct BEFORE counting: at coarse precisions wrapped ring cells can
       // repeat, and manifest-count duplicates would stop expansion early
       accCells = (accCells ++ ringCells(r)).distinct
@@ -210,7 +226,7 @@ object SpatialOps {
     val needRings =
       if (kthRow.isNullAt(0)) r - 1
       else math.ceil(math.sqrt(kthRow.getDouble(0)) / cellMin).toLong + 1
-    while (r <= needRings && r < math.max(nx, ny)) {
+    while (r <= needRings && r < maxRings) {
       accCells = (accCells ++ ringCells(r)).distinct; r += 1
     }
     val w = Window.partitionBy(lit(1)).orderBy(dist.asc, col(tieCol).asc)
@@ -236,6 +252,38 @@ object SpatialOps {
         .withColumn("qid", lit(qid))
         .drop("__cell")
     } finally tiled.unpersist()
+  }
+
+  /** [[knnRing]] on the Uber-H3 index: expansion rings are gridDisk shells
+    * around the query cell. The disc-coverage bound uses the index's
+    * minimum center-to-center pitch (0.6 × the face-center pitch — the
+    * gnomonic projection compresses spacing by at most 1/(1+tan²γ) ≈ 0.63
+    * toward face edges) converted to degrees, which only ever OVER-expands
+    * (degree-space distances are ≥ angular distances). Exact. */
+  def knnRingH3(points: DataFrame, lonCol: String, latCol: String,
+                qid: Int, qLon: Double, qLat: Double, k: Int, res: Int,
+                tieCol: String): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val center = graft.core.H3U.latLngToCell(qLat, qLon, res)
+    val disks = scala.collection.mutable.ArrayBuffer[Set[Long]](Set(center))
+    def h3Ring(r: Long): Seq[Long] = {
+      while (disks.length <= r)
+        disks += disks.last ++ disks.last.flatMap(graft.core.H3U.neighbors(_))
+      if (r == 0) Seq(center)
+      else (disks(r.toInt) -- disks(r.toInt - 1)).toSeq
+    }
+    val cellMinDeg = math.toDegrees(graft.core.H3U.maxPitchRad(res)) * 0.6
+    val maxRings = (math.Pi / (graft.core.H3U.maxPitchRad(res) * 0.6)).toLong + 2
+    val keyed = points.withColumn("__cell", gf.h3u_cell(col(lonCol), col(latCol), res)).cache()
+    try {
+      def scan(cells: Seq[Long]): DataFrame =
+        keyed.join(broadcast(cells.toDF("__cell")), "__cell")
+      knnExpandCore(spark, lonCol, latCol, qLon, qLat, k, tieCol,
+          h3Ring, cellMinDeg, maxRings, scan, cells => scan(cells).count(), keyed.count())
+        .withColumn("qid", lit(qid))
+        .drop("__cell")
+    } finally keyed.unpersist()
   }
 
   /** kNN against a PRE-TILED Iceberg-lite table: each expansion step reads
