@@ -615,8 +615,7 @@ object H3U {
     }
     0
   }
-  private val rotCcwDigit = Array(0, 5, 6, 1, 2, 3, 4)
-  // ccw: K→IK, IK→I, I→IJ, IJ→J, J→JK, JK→K  (1→5? no: K=1→IK=5? IK=5→I=4? ...)
+  // ccw: K→IK, J→JK, JK→K, I→IJ, IK→I, IJ→J (published _rotate60ccw)
   private val digitRotCcw = Array(0, 5, 3, 1, 6, 4, 2)
   private val digitRotCw  = Array(0, 3, 6, 2, 5, 1, 4)
 

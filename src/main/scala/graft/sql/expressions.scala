@@ -848,3 +848,26 @@ object H3UBoundaryWkt {
     s"POLYGON (($ring))"
   }
 }
+
+/** h3u_children(id, child_res) → ARRAY<LONG> — bit-compatible
+  * cellToChildren (pentagon lineages skip the deleted K subsequence). */
+case class H3UChildren(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "h3u_children"
+  override def nullSafeEval(id: Any, childRes: Any): Any =
+    new GenericArrayData(graft.core.H3U.cellToChildren(
+      id.asInstanceOf[Long], childRes.asInstanceOf[Int]))
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** h3u_resolution(id) → INT. */
+case class H3UResolution(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "h3u_resolution"
+  override def nullSafeEval(id: Any): Any = graft.core.H3U.resolution(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, i => s"graft.core.H3U.resolution($i)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

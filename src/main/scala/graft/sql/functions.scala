@@ -121,6 +121,10 @@ object GraftFunctions {
       (e: Seq[Expression]) => { require(e.length == 2, "h3u_disk(id, k)"); H3UDisk(cL(e(0)), cI(e(1))) }),
     ("h3u_boundary_wkt", "h3u_boundary_wkt(id) - cell corner polygon as WKT",
       (e: Seq[Expression]) => { require(e.length == 1, "h3u_boundary_wkt(id)"); H3UBoundaryWkt(cL(e(0))) }),
+    ("h3u_children", "h3u_children(id, child_res) - bit-compatible cellToChildren",
+      (e: Seq[Expression]) => { require(e.length == 2, "h3u_children(id, child_res)"); H3UChildren(cL(e(0)), cI(e(1))) }),
+    ("h3u_resolution", "h3u_resolution(id) - resolution of a cell id",
+      (e: Seq[Expression]) => { require(e.length == 1, "h3u_resolution(id)"); H3UResolution(cL(e(0))) }),
     ("collect_capped", "collect_capped(v, cap) - agg: sorted group values, NULL when the group exceeds cap",
       (e: Seq[Expression]) => {
         require(e.length == 2 && e(1).foldable, "collect_capped(v, literal cap)")
@@ -215,6 +219,9 @@ object functions {
   def h3u_is_pentagon(id: Column): Column = call_function("h3u_is_pentagon", id)
   def h3u_disk(id: Column, k: Int): Column = call_function("h3u_disk", id, lit(k))
   def h3u_boundary_wkt(id: Column): Column = call_function("h3u_boundary_wkt", id)
+  def h3u_children(id: Column, childRes: Int): Column =
+    call_function("h3u_children", id, lit(childRes))
+  def h3u_resolution(id: Column): Column = call_function("h3u_resolution", id)
 }
 
 /** Session factory with graft functions pre-registered and scale-appropriate

@@ -14,6 +14,23 @@ class EngineOpsSpec extends AnyFunSuite {
   def customers = SpatialOps.withDerivedPosition(
     spark.read.parquet(s"$sf/customer.parquet").select("c_custkey"), "c_custkey")
 
+  test("h3u SQL surface: functions callable from SQL text, consistent with core") {
+    val r = spark.sql(
+      """SELECT h3u_cell(-122.0553238, 37.3615593, 5) AS c,
+        |       h3u_token(h3u_cell(-122.0553238, 37.3615593, 5)) AS t,
+        |       h3u_resolution(h3u_cell(-122.0553238, 37.3615593, 5)) AS r,
+        |       size(h3u_children(h3u_cell(-122.0553238, 37.3615593, 5), 6)) AS nc,
+        |       size(h3u_disk(h3u_cell(-122.0553238, 37.3615593, 5), 1)) AS nd,
+        |       h3u_boundary_wkt(h3u_cell(-122.0553238, 37.3615593, 5)) AS wkt
+        |""".stripMargin).collect()(0)
+    assert(r.getAs[String]("t") == "85283473fffffff") // published golden via SQL
+    assert(r.getAs[Int]("r") == 5)
+    assert(r.getAs[Int]("nc") == 7)
+    assert(r.getAs[Int]("nd") == 7)
+    assert(r.getAs[String]("wkt").startsWith("POLYGON ((") &&
+           r.getAs[String]("wkt").count(_ == ',') == 6) // 6 corners + closure
+  }
+
   test("knnRing == knnBrute for several query points, ks and precisions") {
     val pts = Seq((-0.75, 51.25), (139.75, 35.5), (10.0, -40.0), (-120.5, 60.25))
     for (((qx, qy), qi) <- pts.zipWithIndex; k <- Seq(3, 10); bits <- Seq(16, 20)) {
