@@ -309,6 +309,36 @@ object SpatialOps {
       rowsByPartition.values.sum)
   }
 
+  /** [[knnIndexed]] against an H3-TILED table ([[graft.data.IcebergLite
+    * .writeTiledH3]]): gridDisk-shell expansion over the H3 partition
+    * prefix, counts from the manifest — zero Spark jobs until the final
+    * scan, partition pruning on the listed files. Exact. */
+  def knnIndexedH3(spark: org.apache.spark.sql.SparkSession, table: String,
+                   prefixCol: String, prefixRes: Int,
+                   lonCol: String, latCol: String,
+                   qLon: Double, qLat: Double, k: Int, tieCol: String): DataFrame = {
+    val manifest = graft.data.IcebergLite.readManifest(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $table"))
+    val rowsByPartition: Map[String, Long] = graft.data.IcebergLite.rowsByPartition(manifest)
+    val center = graft.core.H3U.latLngToCell(qLat, qLon, prefixRes)
+    val disks = scala.collection.mutable.ArrayBuffer[Set[Long]](Set(center))
+    def h3Ring(r: Long): Seq[Long] = {
+      while (disks.length <= r)
+        disks += disks.last ++ disks.last.flatMap(graft.core.H3U.neighbors(_))
+      if (r == 0) Seq(center)
+      else (disks(r.toInt) -- disks(r.toInt - 1)).toSeq
+    }
+    val cellMinDeg = math.toDegrees(graft.core.H3U.maxPitchRad(prefixRes)) * 0.6
+    val maxRings = (math.Pi / (graft.core.H3U.maxPitchRad(prefixRes) * 0.6)).toLong + 2
+    def scan(cells: Seq[Long]): DataFrame =
+      graft.data.IcebergLite.read(spark, table)
+        .where(col(prefixCol).isin(cells: _*))
+    knnExpandCore(spark, lonCol, latCol, qLon, qLat, k, tieCol,
+      h3Ring, cellMinDeg, maxRings,
+      scan, cells => cells.map(c => rowsByPartition.getOrElse(c.toString, 0L)).sum,
+      rowsByPartition.values.sum)
+  }
+
   /** Dense raster of per-cell counts over a box — the engine equivalent of
     * the reference's `converter.to_xarray` (SURVEY.md §3.2 #22: cell grid →
     * dense row/col array). The aggregation is distributed (broadcast

@@ -256,6 +256,23 @@ class PlanSpec extends AnyFunSuite {
            expect.exceptAll(q.select("c_custkey")).isEmpty)
   }
 
+  test("knnIndexedH3: manifest-count expansion on an H3-tiled table matches brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("knn_h3").toString
+    val pts = SpatialOps.withDerivedPosition(
+      spark.read.parquet("/root/testdata/sf0.01/customer.parquet").select("c_custkey"), "c_custkey")
+    graft.data.IcebergLite.writeTiledH3(pts, s"$dir/t", "lon", "lat", 7, 4)
+    val (qx, qy) = (-0.75, 51.25)
+    val got = SpatialOps.knnIndexedH3(spark, s"$dir/t", "tile_p", 4, "lon", "lat", qx, qy, 10, "c_custkey")
+    val brute = SpatialOps.knnBrute(pts, "lon", "lat", Seq((0, qx, qy)), 10, "c_custkey")
+      .select("rank", "c_custkey").collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+    val ring = got.select("rank", "c_custkey").collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+    assert(ring.toSeq == brute.toSeq)
+    // partition pruning visible in the final plan
+    val pf = got.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("tile_p#"), pf)
+  }
+
   test("DeriveCoveringPrune: H3-tiled table derives a polyfill IN-list prune") {
     val dir = java.nio.file.Files.createTempDirectory("h3_prune").toString
     val pts = SpatialOps.withDerivedPosition(
