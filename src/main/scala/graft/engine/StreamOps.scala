@@ -84,7 +84,41 @@ object StreamOps {
     * manifest. */
   def streamedTileIngest(spark: SparkSession, parquetPath: String, table: String,
                          keyCol: String, bits: Int, prefixBits: Int,
-                         maxFilesPerTrigger: Int = 0): DataFrame = {
+                         maxFilesPerTrigger: Int = 0): DataFrame =
+    streamedIngest(spark, parquetPath, table, keyCol, maxFilesPerTrigger,
+      tile = pos => SpatialOps.withTile(pos, "lon", "lat", bits)
+        .withColumn("tile_p", graft.sql.functions.gh_parent(col("tile"), bits, prefixBits)),
+      properties = Map(
+        graft.data.IcebergLite.PropPrefixBits -> prefixBits.toString,
+        graft.data.IcebergLite.PropLonCol -> "lon",
+        graft.data.IcebergLite.PropLatCol -> "lat",
+        graft.data.IcebergLite.PropIndexType -> "gh"))
+
+  /** [[streamedTileIngest]] on the Uber-H3-compatible index: tiles are
+    * h3u_cell at tileRes, partitions their ancestor at prefixRes; the first
+    * commit records the h3u tiling properties so DeriveCoveringPrune
+    * rewrites bare box/PIP filters over the STREAMED table too. */
+  def streamedTileIngestH3(spark: SparkSession, parquetPath: String, table: String,
+                           keyCol: String, tileRes: Int, prefixRes: Int,
+                           maxFilesPerTrigger: Int = 0): DataFrame =
+    streamedIngest(spark, parquetPath, table, keyCol, maxFilesPerTrigger,
+      tile = pos => pos
+        .withColumn("tile", graft.sql.functions.h3u_cell(col("lon"), col("lat"), tileRes))
+        .withColumn("tile_p", graft.sql.functions.h3u_parent(col("tile"), prefixRes)),
+      properties = Map(
+        graft.data.IcebergLite.PropPrefixBits -> prefixRes.toString,
+        graft.data.IcebergLite.PropLonCol -> "lon",
+        graft.data.IcebergLite.PropLatCol -> "lat",
+        graft.data.IcebergLite.PropIndexType -> "h3u"))
+
+  /** Shared micro-batch ingest loop: stream → derive position → tile →
+    * first batch CREATES the table (with the tiling properties — streamed
+    * tables are prune-aware like batch-written ones), later batches are
+    * FILE-LEVEL extends. Returns per-tile counts read through the manifest. */
+  private def streamedIngest(spark: SparkSession, parquetPath: String, table: String,
+                             keyCol: String, maxFilesPerTrigger: Int,
+                             tile: DataFrame => DataFrame,
+                             properties: Map[String, String]): DataFrame = {
     import graft.data.IcebergLite
     val schema = spark.read.parquet(parquetPath).schema
     val f = new java.io.File(parquetPath)
@@ -94,10 +128,9 @@ object StreamOps {
     val stream = reader.parquet(dir).select(col("event_id"), col(keyCol))
     val q = stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
-        val tiled = SpatialOps.withTile(
-            SpatialOps.withDerivedPosition(batch, keyCol), "lon", "lat", bits)
-          .withColumn("tile_p", graft.sql.functions.gh_parent(col("tile"), bits, prefixBits))
-        if (IcebergLite.readManifest(table).isEmpty) IcebergLite.write(tiled, table, "tile_p")
+        val tiled = tile(SpatialOps.withDerivedPosition(batch, keyCol))
+        if (IcebergLite.readManifest(table).isEmpty)
+          IcebergLite.write(tiled, table, "tile_p", properties = properties)
         else IcebergLite.extend(tiled, table, "tile_p")
       }
       ()

@@ -134,6 +134,35 @@ class EngineOpsSpec extends AnyFunSuite {
       "state did not carry across batches")
   }
 
+  test("streamed H3 tile ingest: manifest parity with one-shot writeTiledH3 + prune props") {
+    import graft.data.IcebergLite
+    val dir = java.nio.file.Files.createTempDirectory("stream_h3").toString
+    val events = spark.read.parquet(s"$sf/events.parquet").select($"event_id", $"user_id")
+    val half = events.count() / 2
+    events.where($"event_id" < half).coalesce(1).write.parquet(s"$dir/in")
+    Thread.sleep(1100)
+    events.where($"event_id" >= half).coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    StreamOps.streamedTileIngestH3(spark, s"$dir/in", s"$dir/t",
+      "user_id", 6, 3, maxFilesPerTrigger = 1)
+    IcebergLite.writeTiledH3(
+      SpatialOps.withDerivedPosition(events, "user_id"), s"$dir/batch",
+      "lon", "lat", 6, 3)
+
+    val sm = IcebergLite.readManifest(s"$dir/t").get
+    val bm = IcebergLite.readManifest(s"$dir/batch").get
+    assert(sm.snapshotId >= 1, "stream should have committed multiple snapshots")
+    assert(IcebergLite.rowsByPartition(sm) == IcebergLite.rowsByPartition(bm))
+    // tiling properties recorded → the streamed table is prune-aware
+    assert(sm.properties.get(IcebergLite.PropIndexType).contains("h3u"))
+    assert(sm.properties.get(IcebergLite.PropPrefixBits).contains("3"))
+    val tbl = IcebergLite.read(spark, s"$dir/t")
+    val q = tbl.where($"lon" >= -1.0 && $"lon" <= 1.0 && $"lat" >= 50.0 && $"lat" <= 53.0)
+    val pf = q.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("tile_p#"), s"streamed H3 table not prune-aware: $pf")
+  }
+
   test("streamed tile ingest: final manifest state == one-shot batch write") {
     import graft.data.IcebergLite
     val dir = java.nio.file.Files.createTempDirectory("stream_tile").toString
