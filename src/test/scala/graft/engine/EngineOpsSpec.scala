@@ -134,6 +134,16 @@ class EngineOpsSpec extends AnyFunSuite {
       "state did not carry across batches")
   }
 
+  test("boxQueryH3: anti-meridian box matches the geohash boxQuery row set") {
+    val pts = SpatialOps.withDerivedPosition(
+      spark.read.parquet("/root/testdata/sf0.01/customer.parquet").select("c_custkey"), "c_custkey")
+    val am = graft.core.BBox(177.0, -50.0, -177.0, 50.0)
+    val viaH3 = SpatialOps.boxQueryH3(pts, "lon", "lat", am, 5).select("c_custkey")
+    val viaGh = SpatialOps.boxQuery(pts, "lon", "lat", am, 20).select("c_custkey")
+    assert(viaH3.exceptAll(viaGh).isEmpty && viaGh.exceptAll(viaH3).isEmpty)
+    assert(viaH3.count() > 0, "fixture should have rows near the anti-meridian")
+  }
+
   test("streamed H3 tile ingest: manifest parity with one-shot writeTiledH3 + prune props") {
     import graft.data.IcebergLite
     val dir = java.nio.file.Files.createTempDirectory("stream_h3").toString
