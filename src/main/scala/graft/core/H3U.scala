@@ -395,7 +395,10 @@ object H3U {
   final class FaceIJK(var face: Int, val coord: IJK)
 
   /** geo → (face, hex2d) at res (published _geoToHex2d). */
-  private def geoToHex2d(lat: Double, lng: Double, res: Int): (Int, Double, Double) = {
+  /** Published-form projection (kept as the validation reference; the hot
+    * path below is algebraically identical with the transcendentals
+    * eliminated — H3USpec asserts cell-level agreement). */
+  private def geoToHex2dRef(lat: Double, lng: Double, res: Int): (Int, Double, Double) = {
     val p = toXyz(lat, lng)
     var face = 0; var sqd = sqDist(faceCenterXyz(0), p)
     var f = 1
@@ -413,6 +416,51 @@ object H3U {
     var i = 0
     while (i < res) { r *= Sqrt7; i += 1 }
     (face, r * math.cos(theta), r * math.sin(theta))
+  }
+
+  // per-face constants for the trig-free projection: sin/cos of the face
+  // center, and cos/sin of the i-axis azimuth per resolution class (Class
+  // III subtracts the aperture-7 rotation)
+  private val faceSinLat = faceCenterGeo.map(g => math.sin(g(0)))
+  private val faceCosLat = faceCenterGeo.map(g => math.cos(g(0)))
+  private val faceSinLng = faceCenterGeo.map(g => math.sin(g(1)))
+  private val faceCosLng = faceCenterGeo.map(g => math.cos(g(1)))
+  private val faceAzCosII = faceAxesAzI.map(math.cos)
+  private val faceAzSinII = faceAxesAzI.map(math.sin)
+  private val faceAzCosIII = faceAxesAzI.map(a => math.cos(a - Ap7RotRads))
+  private val faceAzSinIII = faceAxesAzI.map(a => math.sin(a - Ap7RotRads))
+
+  /** Hot-path projection — algebraically equal to [[geoToHex2dRef]] with
+    * every transcendental after the initial sin/cos(lat), sin/cos(lng)
+    * removed: with X, Y the point's north/east tangent components at the
+    * face center (‖(X,Y)‖ = sin r) and c = cos r its dot with the center,
+    * tan(r)/sin(r) = 1/c, so
+    *   v = (√7^res / (u₀ c)) · (cosA·X + sinA·Y, sinA·X − cosA·Y)
+    * with (cosA, sinA) the precomputed i-axis azimuth components. */
+  private def geoToHex2d(lat: Double, lng: Double, res: Int): (Int, Double, Double) = {
+    val sinLat = math.sin(lat); val cosLat = math.cos(lat)
+    val sinLng = math.sin(lng); val cosLng = math.cos(lng)
+    val px = cosLat * cosLng; val py = cosLat * sinLng; val pz = sinLat
+    var face = 0
+    var best = faceCenterXyz(0)(0) * px + faceCenterXyz(0)(1) * py + faceCenterXyz(0)(2) * pz
+    var f = 1
+    while (f < 20) {
+      val d = faceCenterXyz(f)(0) * px + faceCenterXyz(f)(1) * py + faceCenterXyz(f)(2) * pz
+      if (d > best) { face = f; best = d } // max dot == min chord distance
+      f += 1
+    }
+    val c = best
+    if (1.0 - c < Epsilon * Epsilon / 2.0) return (face, 0.0, 0.0)
+    val sinDl = sinLng * faceCosLng(face) - cosLng * faceSinLng(face)
+    val cosDl = cosLng * faceCosLng(face) + sinLng * faceSinLng(face)
+    val xN = faceCosLat(face) * sinLat - faceSinLat(face) * cosLat * cosDl // north
+    val yE = cosLat * sinDl                                               // east
+    val cA = if (isClassIII(res)) faceAzCosIII(face) else faceAzCosII(face)
+    val sA = if (isClassIII(res)) faceAzSinIII(face) else faceAzSinII(face)
+    var scale = 1.0 / (Res0UGnomonic * c)
+    var i = 0
+    while (i < res) { scale *= Sqrt7; i += 1 }
+    (face, scale * (cA * xN + sA * yE), scale * (sA * xN - cA * yE))
   }
 
   /** (face, hex2d) at res → geo (published _hex2dToGeo; substrate scales
@@ -907,12 +955,19 @@ object H3U {
   }
 
   // ----------------------------------------------------------------- encode
+  /** Encode via the published-form projection — validation twin of
+    * [[latLngToCell]] (H3USpec asserts agreement). */
+  private[core] def latLngToCellRef(latDeg: Double, lngDeg: Double, res: Int): Long =
+    encodeFrom(geoToHex2dRef(math.toRadians(latDeg), math.toRadians(lngDeg), res), res)
+
   /** (lat°, lng°) → cell id at res — bit-compatible latLngToCell. */
   def latLngToCell(latDeg: Double, lngDeg: Double, res: Int): Long = {
     require(res >= 0 && res <= MaxRes, s"res must be 0..$MaxRes, got $res")
-    val lat = math.toRadians(latDeg)
-    val lng = math.toRadians(lngDeg)
-    val (face, x, y) = geoToHex2d(lat, lng, res)
+    encodeFrom(geoToHex2d(math.toRadians(latDeg), math.toRadians(lngDeg), res), res)
+  }
+
+  private def encodeFrom(projected: (Int, Double, Double), res: Int): Long = {
+    val (face, x, y) = projected
     val c = new IJK(0, 0, 0)
     hex2dToCoordIJK(x, y, c)
     if (res == 0) {

@@ -158,6 +158,26 @@ class H3USpec extends AnyFunSuite {
     }
   }
 
+  test("fast projection == published-form projection: cell-identical everywhere sampled") {
+    // all res-3 cell centers through both paths
+    H3U.res0Cells.foreach { c0 =>
+      H3U.cellToChildren(c0, 3).foreach { id =>
+        val (lat, lng) = H3U.cellToLatLng(id)
+        assert(H3U.latLngToCell(lat, lng, 3) == H3U.latLngToCellRef(lat, lng, 3),
+          s"fast/ref disagree at center of ${H3U.token(id)}")
+      }
+    }
+    // a large random sample across resolutions
+    val rnd = new scala.util.Random(99)
+    (1 to 200000).foreach { i =>
+      val lat = rnd.nextDouble() * 180.0 - 90.0
+      val lng = rnd.nextDouble() * 360.0 - 180.0
+      val res = i % 16
+      assert(H3U.latLngToCell(lat, lng, res) == H3U.latLngToCellRef(lat, lng, res),
+        s"fast/ref disagree at ($lat, $lng, $res)")
+    }
+  }
+
   test("random points: encode is the nearest-center cell's id, res up to 9") {
     val rnd = new scala.util.Random(42)
     (1 to 500).foreach { _ =>
