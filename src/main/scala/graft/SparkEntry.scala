@@ -30,6 +30,25 @@ object SparkEntry {
     if (dir.contains("sf0.1")) 50000L else if (dir.contains("sf0.01")) 20000L else 2000L
 
   // fixed query geometry (exact-binary literals → bit-identical in DuckDB)
+  /** q52's streaming-ingest scratch root, scoped per PROCESS: concurrent
+    * bench/verify runs on one machine must not wipe each other's in-flight
+    * table. Recursively removed by a one-time shutdown hook; the
+    * per-invocation wipe in q52 handles repeated runs inside one JVM. */
+  private lazy val q52ScratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft-q52-scratch-${java.lang.ProcessHandle.current().pid()}")
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      if (java.nio.file.Files.exists(p))
+        scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
+          import scala.jdk.CollectionConverters._
+          w.sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(f =>
+              try java.nio.file.Files.delete(f) catch { case _: java.io.IOException => () })
+        }))
+    p
+  }
+
   private val londonBox = BBox(-0.75, 51.0, 0.25, 52.0)
   private val amBox = BBox(178.0, -45.0, -178.0, 45.0) // anti-meridian straddle
   private val knnQueries = Seq((1, -0.75, 51.25), (2, 139.75, 35.5), (3, -46.5, -23.5))
@@ -482,10 +501,11 @@ object SparkEntry {
     "q52_stream_tiling" -> gq { (s, dir) =>
       // incremental tiling: stream → foreachBatch extend into an
       // IcebergLite table → per-tile counts read through the manifest.
-      // FIXED scratch root, wiped per invocation: repeated bench/verify
-      // loops must not leak one temp table per run
-      val root = java.nio.file.Paths.get(
-        System.getProperty("java.io.tmpdir"), "graft-q52-scratch")
+      // Scratch root scoped PER PROCESS (wiped per invocation): repeated
+      // bench/verify loops in one JVM must not leak one temp table per run,
+      // and two concurrent runs on the same machine must not delete each
+      // other's in-flight streaming table mid-query
+      val root = q52ScratchRoot
       if (java.nio.file.Files.exists(root))
         scala.util.Using.resource(java.nio.file.Files.walk(root)) { w =>
           import scala.jdk.CollectionConverters._

@@ -219,8 +219,18 @@ object H3Ico {
       if (dist < bestD) { bestD = dist; best = d }
       d += 1
     }
+    // the empirical ring≤2 bound was violated — count it (per JVM) so a
+    // silent snap-to-nearest degradation is observable in tests/benchmarks
+    // instead of quietly producing a wrong-but-plausible cell id
+    nearestFallbackCounter.incrementAndGet()
     best
   }
+
+  private val nearestFallbackCounter = new java.util.concurrent.atomic.AtomicLong(0)
+  /** Times [[baseIdxNearest]] failed to find an exact res-0 landing and
+    * snapped to the nearest base position (expected 0 — asserted in
+    * H3Spec's property runs; mirrors H3U.calibrationConflicts). */
+  def nearestFallbacks: Long = nearestFallbackCounter.get()
 
   // ---- vertex (pentagon) tables ----
   // For each face: the base-cell index (1..6 unit positions) of each of its

@@ -1049,9 +1049,11 @@ object H3U {
   def neighbors(id: Long): Array[Long] = {
     val res = resolution(id)
     val out = new scala.collection.mutable.ArrayBuffer[Long](6)
+    // one FaceIJK decode per call; each direction works on a mutable copy
+    val base = h3ToFaceIjk(id)
     var d = 1
     while (d < 7) {
-      val f = h3ToFaceIjk(id)
+      val f = new FaceIJK(base.face, new IJK(base.coord.i, base.coord.j, base.coord.k))
       neighborMove(f.coord, d)
       // same class-II substrate dance as decode for the face crossing
       var r2 = res
@@ -1083,13 +1085,13 @@ object H3U {
 
   /** Upper bound on center-to-center pitch (radians) at a resolution: the
     * lattice spacing is largest at a face center (gnomonic stretches the
-    * projection there), one hex2d unit → atan(Res0UGnomonic) / √7^res. */
-  def maxPitchRad(res: Int): Double = {
-    var p = math.atan(Res0UGnomonic)
-    var i = 0
-    while (i < res) { p /= Sqrt7; i += 1 }
-    p
-  }
+    * projection there), one hex2d unit → atan(Res0UGnomonic / √7^res).
+    * The atan is taken AFTER the √7 scaling — atan(x)/s < atan(x/s) for
+    * s > 1 (atan concavity), so dividing the res-0 angle would undershoot
+    * the true face-center pitch by ~4% and break the "upper bound"
+    * contract callers pad with. */
+  def maxPitchRad(res: Int): Double =
+    math.atan(Res0UGnomonic / math.pow(Sqrt7, res))
 
   /** Conservative covering of a lon/lat box (degrees) at `res`: every point
     * inside the box encodes to a cell in the returned set (extra boundary

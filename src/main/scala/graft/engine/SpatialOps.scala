@@ -229,10 +229,14 @@ object SpatialOps {
     while (r <= needRings && r < maxRings) {
       accCells = (accCells ++ ringCells(r)).distinct; r += 1
     }
+    // top-k as orderBy.limit(k) → TakeOrderedAndProject: a distributed
+    // bounded heap per partition, NOT a single-partition window sort over
+    // the full candidate scan (ring 0 of a hot-spot cell can hold millions
+    // of rows at scale). The rank window then runs over ≤k survivors.
+    val topK = scanCells(accCells.distinct)
+      .orderBy(dist.asc, col(tieCol).asc).limit(k)
     val w = Window.partitionBy(lit(1)).orderBy(dist.asc, col(tieCol).asc)
-    scanCells(accCells.distinct)
-      .withColumn("rank", row_number().over(w))
-      .where($"rank" <= k)
+    topK.withColumn("rank", row_number().over(w))
   }
 
   /** kNN via geohash cell-ring expansion (BASELINE.json north_star) over an

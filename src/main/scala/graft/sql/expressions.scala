@@ -659,6 +659,18 @@ case class CollectCapped(
   override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
   override def prettyName: String = "collect_capped"
 
+  // enforce the supported id-like types at analysis time — without this the
+  // serialize() fallback would writeInt a double and die mid-shuffle with a
+  // ClassCastException instead of a clear analysis error
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType | LongType | IntegerType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"collect_capped supports STRING/BIGINT/INT children, got ${other.catalogString}")
+    }
+
   private lazy val cmp: java.util.Comparator[Any] = child.dataType match {
     case StringType => (a: Any, b: Any) =>
       a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])

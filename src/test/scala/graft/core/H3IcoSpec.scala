@@ -239,4 +239,22 @@ class H3IcoSpec extends AnyFunSuite with PropHelper {
     val d2 = n2.map(dist(c2, _)).min
     assert(math.abs(d1 / d2 - math.sqrt(7.0)) < 0.2, s"aperture ratio ${d1 / d2}")
   }
+
+  test("nearest-base fallback never fires (ring<=2 bound holds across the suite)") {
+    // baseIdxNearest degrades to the nearest base position instead of
+    // crashing codegen; if that ever actually happens, cell ids are quietly
+    // wrong — stress face corners and pole caps, then assert the per-JVM
+    // counter is still zero (every prior test in this suite counts too)
+    val rnd = new scala.util.Random(41)
+    (1 to 5000).foreach { _ =>
+      val lat = (rnd.nextDouble() * 2 - 1) * 90.0
+      val lon = (rnd.nextDouble() * 2 - 1) * 180.0
+      H3Ico.cellId(lon, lat, rnd.nextInt(9))
+    }
+    Seq((0.0, 90.0), (0.0, -90.0), (-180.0, 26.57), (180.0, -26.57)).foreach {
+      case (lo, la) => (0 to 8).foreach(r => H3Ico.cellId(lo, la, r))
+    }
+    assert(H3Ico.nearestFallbacks == 0L,
+      s"baseIdxNearest fell back ${H3Ico.nearestFallbacks} times — res-0 landings drifted")
+  }
 }

@@ -88,6 +88,35 @@ class H3USpec extends AnyFunSuite {
     assert(H3U.gridDisk(pent, 1).length == 6)
   }
 
+  test("pentagon vicinity: neighbors exact within grid distance 3 of all 12 pentagons, res 1..4") {
+    // the deleted-wedge crossing around pentagons is the known-hard case of
+    // the lattice-step+re-encode neighbor construction; exercise EVERY cell
+    // near EVERY pentagon instead of hoping random sampling lands there
+    val pentBases = Seq(4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117)
+    (1 to 4).foreach { res =>
+      pentBases.foreach { bc =>
+        val pent = H3U.cellToChildren(H3U.res0Cells(bc), res).find(H3U.isPentagon).get
+        H3U.gridDisk(pent, 3).foreach { id =>
+          val ns = H3U.neighbors(id)
+          // exactly 6 distinct neighbors (5 for the pentagon itself)
+          val want = if (H3U.isPentagon(id)) 5 else 6
+          assert(ns.length == want && ns.distinct.length == want,
+            s"res $res ${H3U.token(id)}: ${ns.map(H3U.token).mkString(",")}")
+          ns.foreach { n =>
+            assert(H3U.isValid(n), s"invalid neighbor ${H3U.token(n)} of ${H3U.token(id)}")
+            // symmetry across the wedge
+            assert(H3U.neighbors(n).contains(id),
+              s"asymmetric: ${H3U.token(id)} / ${H3U.token(n)}")
+            // each neighbor's center round-trips to itself
+            val (la, lo) = H3U.cellToLatLng(n)
+            assert(H3U.latLngToCell(la, lo, res) == n,
+              s"neighbor center round-trip failed for ${H3U.token(n)}")
+          }
+        }
+      }
+    }
+  }
+
   test("cellToBoundary: 6/5 corners, tiles the sphere (res-1 area sum == 4π)") {
     def xyz(p: (Double, Double)) = {
       val la = math.toRadians(p._1); val lo = math.toRadians(p._2)

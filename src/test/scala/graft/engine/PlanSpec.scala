@@ -220,6 +220,21 @@ class PlanSpec extends AnyFunSuite {
       "window must sit ABOVE the TakeOrderedAndProject branches")
   }
 
+  test("knnRing: final top-k is TakeOrderedAndProject, not a full-scan global window") {
+    val pts = SpatialOps.withDerivedPosition(
+      spark.read.parquet(s"$sf/customer.parquet").select("c_custkey"), "c_custkey")
+    val df = SpatialOps.knnRing(pts, "lon", "lat", 1, -0.75, 51.25, 10, 20, "c_custkey")
+    val planStr = df.queryExecution.executedPlan.toString
+    assert(planStr.contains("TakeOrderedAndProject"), planStr)
+    // the rank window must rank the ≤k TakeOrderedAndProject survivors, not
+    // sort the whole candidate scan in one partition (ring 0 of a hot-spot
+    // cell holds millions of rows at 100× scale)
+    val windowIdx = planStr.indexOf("Window")
+    val takeIdx = planStr.indexOf("TakeOrderedAndProject")
+    assert(windowIdx >= 0 && takeIdx > windowIdx,
+      "window must sit ABOVE the TakeOrderedAndProject candidate top-k")
+  }
+
   test("IcebergLite.read: visibility is path listing, constant-size as snapshots grow") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
     val dir = java.nio.file.Files.createTempDirectory("snap_flat").toString
