@@ -1068,9 +1068,20 @@ object H3U {
     out.toArray
   }
 
-  /** All cells within grid distance k (BFS over [[neighbors]]) — the
-    * gridDisk SET (ordering not H3-canonical; see [[neighbors]]). */
+  /** All cells within grid distance k, in H3's CANONICAL traversal order
+    * (the published gridDiskUnsafe spiral: origin, then each ring walked
+    * ccw starting from the I-axis neighbor with direction sequence
+    * J,JK,K,IK,I,IJ). Falls back to BFS SET order when a pentagon lies in
+    * the disk — the same split as H3 itself, whose unsafe spiral errors on
+    * pentagons and falls back to a differently-ordered safe algorithm. */
   def gridDisk(id: Long, k: Int): Array[Long] = {
+    require(k >= 0, s"k must be >= 0, got $k")
+    gridDiskSpiral(id, k).getOrElse(gridDiskBfs(id, k))
+  }
+
+  /** BFS gridDisk (SET semantics, insertion order) — the pentagon-safe
+    * fallback; also what the kNN ring expansion uses (sets only). */
+  def gridDiskBfs(id: Long, k: Int): Array[Long] = {
     require(k >= 0, s"k must be >= 0, got $k")
     val seen = scala.collection.mutable.LinkedHashSet(id)
     var frontier: Set[Long] = Set(id)
@@ -1081,6 +1092,109 @@ object H3U {
       i += 1
     }
     seen.toArray
+  }
+
+  // canonical ring walk: ccw around the I-axis neighbor (published
+  // DIRECTIONS / NEXT_RING_DIRECTION of gridDiskUnsafe)
+  private val SpiralDirections = Array(2, 3, 1, 5, 4, 6) // J,JK,K,IK,I,IJ
+  private final val NextRingDirection = 4                // I
+
+  /** Digit-frame FaceIJK: the decode walk WITHOUT the final overage
+    * adjustment — coordinates on the base cell's home face, the frame the
+    * index digits are expressed in. Directions stepped here are exactly
+    * H3's digit-space directions. */
+  private def digitFrameFaceIjk(id0: Long): FaceIJK = {
+    var id = id0
+    val bc = baseCellOf(id)
+    if (isPentagonBase(bc) && leadingNonZeroDigit(id) == 5)
+      id = rotate60cw(id)
+    val bcd = baseCells(bc)
+    val fijk = new FaceIJK(bcd.homeFace, bcd.homeIJK.copyIJK)
+    val res = resolution(id)
+    var r = 1
+    while (r <= res) {
+      if (isClassIII(r)) downAp7(fijk.coord) else downAp7r(fijk.coord)
+      neighborMove(fijk.coord, digit(id, r))
+      r += 1
+    }
+    fijk
+  }
+
+  /** The neighbor of `id` in DIGIT-FRAME direction `dir` (1..6): one
+    * lattice step on the home-face frame, then the same overage
+    * canonicalization + re-encode as decode. */
+  private def stepDigitFrame(id: Long, dir: Int): Long = {
+    val res = resolution(id)
+    val f = digitFrameFaceIjk(id)
+    neighborMove(f.coord, dir)
+    var r2 = res
+    if (isClassIII(r2)) { downAp7r(f.coord); r2 += 1 }
+    while (adjustOverage(f, r2, pentLeading4 = false) != NoOverage) {}
+    if (r2 != res) upAp7r(f.coord)
+    val g = faceIjkToGeo(f, res)
+    latLngToCell(math.toDegrees(g(0)), math.toDegrees(g(1)), res)
+  }
+
+  /** h3NeighborRotations equivalent: step from `origin` in direction
+    * `dirIn` expressed in the WALK's base frame, carrying `rot` — the
+    * number of 60° ccw rotations from the walk frame to the current cell's
+    * digit frame. The rotation update is CALIBRATED geometrically instead
+    * of transcribed from the neighbor-rotation tables: the back-direction
+    * from the neighbor must be opposite(dir) rotated by the frame twist,
+    * so the twist is recovered by probing which of the neighbor's six
+    * digit-frame directions steps back to the origin. */
+  private def neighborRotations(origin: Long, dirIn: Int, rot: Int): (Long, Int) = {
+    var dir = dirIn
+    var i = 0
+    while (i < rot) { dir = digitRotCcw(dir); i += 1 }
+    // steps touching a pentagon BASE cell can cross the deleted wedge,
+    // where the digit-frame lattice folds (two directions collapse onto
+    // one cell) and the spiral silently derails — hand those disks to the
+    // BFS fallback (H3's unsafe walk likewise errors out near pentagons)
+    if (isPentagonBase(baseCellOf(origin))) return (origin, -1)
+    val n = stepDigitFrame(origin, dir)
+    if (isPentagonBase(baseCellOf(n))) return (n, -1)
+    // opposite direction = three ccw rotations
+    var opp = dir
+    i = 0
+    while (i < 3) { opp = digitRotCcw(opp); i += 1 }
+    var twist = 0
+    var back = opp
+    while (twist < 6 && stepDigitFrame(n, back) != origin) {
+      back = digitRotCcw(back); twist += 1
+    }
+    // twist == 6: no back-direction — the step crossed a pentagon base
+    // cell's deleted wedge, where the digit-frame lattice folds and this
+    // construction (like H3's own unsafe walk) cannot continue; the caller
+    // falls back to the BFS disk, mirroring H3's unsafe→safe fallback
+    if (twist == 6) (n, -1) else (n, (rot + twist) % 6)
+  }
+
+  /** The canonical gridDisk spiral (published gridDiskUnsafe traversal),
+    * or None when a pentagon lies in the disk (H3's unsafe walk errors
+    * there too and falls back to the safe algorithm). */
+  def gridDiskSpiral(origin: Long, k: Int): Option[Array[Long]] = {
+    if (isPentagon(origin)) return None
+    val total = 1 + 3 * k * (k + 1)
+    val out = new scala.collection.mutable.ArrayBuffer[Long](total)
+    out += origin
+    var cur = origin
+    var rot = 0
+    var ring = 0; var direction = 0; var i = 0
+    while (out.length < total) {
+      if (direction == 0 && i == 0) {
+        val (n, nr) = neighborRotations(cur, NextRingDirection, rot)
+        if (nr < 0 || isPentagon(n)) return None
+        cur = n; rot = nr; ring += 1
+      }
+      val (n, nr) = neighborRotations(cur, SpiralDirections(direction), rot)
+      if (nr < 0 || isPentagon(n)) return None
+      cur = n; rot = nr
+      out += cur
+      i += 1
+      if (i == ring) { i = 0; direction += 1; if (direction == 6) direction = 0 }
+    }
+    Some(out.toArray)
   }
 
   /** Upper bound on center-to-center pitch (radians) at a resolution: the
@@ -1173,36 +1287,94 @@ object H3U {
   /** The cell's boundary vertices as (lat°, lng°), ccw — the published
     * substrate-grid construction (center into the aperture-33r[7r] grid,
     * add vertex offsets, overage-adjust each vertex onto its true face,
-    * inverse-project). Returns the 6 (5 for pentagons) TOPOLOGICAL
-    * corners; the extra icosa-edge distortion vertices H3's cellToBoundary
-    * inserts for Class III cells crossing a face edge are NOT inserted, so
-    * hexagons spanning an icosahedron edge are approximated by their
-    * corner polygon. */
+    * inverse-project). For Class III hexagons whose boundary crosses an
+    * icosahedron face edge, the extra DISTORTION vertex is inserted where
+    * each crossing edge meets the icosa edge (the published behavior —
+    * each face is a different gnomonic projection plane, so the hexagon
+    * edge bends there): 7- or 8-vertex polygons for edge-crossing cells.
+    * Pentagons keep the corner-only approximation (their 5 corners are
+    * exact; the distortion machinery for the 12 pentagons is the published
+    * per-vertex-rotated variant, not replicated here). */
   def cellToBoundary(id: Long): Array[(Double, Double)] = {
     val res = resolution(id)
     val center = h3ToFaceIjk(id)
+    val centerFace = center.face
     var adjRes = res
     // center into the substrate grid
     downAp3(center.coord)
     downAp3r(center.coord)
     if (isClassIII(res)) { downAp7r(center.coord); adjRes += 1 }
     val offs = if (isClassIII(res)) vertsCIII else vertsCII
-    val out = new scala.collection.mutable.ArrayBuffer[(Double, Double)](6)
-    var v = 0
-    while (v < 6) {
-      val fv = new FaceIJK(center.face, new IJK(0, 0, 0))
-      ijkAdd(center.coord, offs(v), fv.coord)
-      ijkNormalize(fv.coord)
-      var guard = 0
-      while (adjustOverage(fv, adjRes, pentLeading4 = false, substrate = true) == NewFace &&
-             guard < 4) guard += 1
-      val h2 = ijkToHex2d(fv.coord)
-      val g = hex2dToGeo(fv.face, h2(0), h2(1), adjRes, substrate = true)
-      val pt = (math.toDegrees(g(0)), math.toDegrees(constrainLng(g(1))))
-      // pentagons fold two substrate corners onto one point — dedup
-      if (!out.exists(p => math.abs(p._1 - pt._1) < 1e-9 &&
-                           math.abs(p._2 - pt._2) < 1e-9)) out += pt
-      v += 1
+    val pentagon = isPentagon(id)
+    // raw substrate vertex coords on the CENTER face (pre-overage) — the
+    // frame the icosa-edge intersection is computed in
+    val raw = Array.tabulate(6) { v =>
+      val c = new IJK(0, 0, 0)
+      ijkAdd(center.coord, offs(v), c)
+      ijkNormalize(c)
+      c
+    }
+    // face corner positions in substrate hex2d: the Class II maxDim is
+    // 2·7^(adjRes/2); substrate triples it, so corners sit at radius
+    // 3·maxDim along the i axis and its images
+    val maxDim = (2 * pow7(adjRes / 2)).toDouble
+    val ex0 = 3.0 * maxDim; val ey0 = 0.0
+    val ex1 = -1.5 * maxDim; val ey1 = 3.0 * Sin60 * maxDim
+    val ex2 = -1.5 * maxDim; val ey2 = -3.0 * Sin60 * maxDim
+    val out = new scala.collection.mutable.ArrayBuffer[(Double, Double)](8)
+    var lastFace = centerFace
+    var lastOverage = NoOverage
+    var vert = 0
+    // one extra iteration tests the closing edge (v5 -> v0) for a crossing
+    while (vert < 7) {
+      val v = vert % 6
+      val fv = new FaceIJK(centerFace, raw(v).copyIJK)
+      // hexagon substrate vertices need at most ONE adjustment (published
+      // single-call form); pentagon vertices can hop across several faces
+      val overage = adjustOverage(fv, adjRes, pentLeading4 = false, substrate = true)
+      if (pentagon) {
+        var guard = 0
+        while (guard < 4 &&
+               adjustOverage(fv, adjRes, pentLeading4 = false, substrate = true) == NewFace)
+          guard += 1
+      }
+      if (!pentagon && isClassIII(res) && vert > 0 && fv.face != lastFace &&
+          lastOverage != FaceEdge) {
+        // hexagon edge (prev -> cur) spans two projection planes: insert
+        // the intersection with the icosahedron edge, in the center face's
+        // substrate hex2d frame
+        val p0 = ijkToHex2d(raw((v + 5) % 6))
+        val p1 = ijkToHex2d(raw(v))
+        val face2 = if (lastFace == centerFace) fv.face else lastFace
+        val (ax, ay, bx, by) =
+          if (faceNeighbors(centerFace)(DirIJ).face == face2) (ex0, ey0, ex1, ey1)
+          else if (faceNeighbors(centerFace)(DirJK).face == face2) (ex1, ey1, ex2, ey2)
+          else (ex2, ey2, ex0, ey0)
+        // line-line intersection (published _v2dIntersect)
+        val s1x = p1(0) - p0(0); val s1y = p1(1) - p0(1)
+        val s2x = bx - ax; val s2y = by - ay
+        val t = (s2x * (p0(1) - ay) - s2y * (p0(0) - ax)) / (-s2x * s1y + s1x * s2y)
+        val ix = p0(0) + t * s1x; val iy = p0(1) + t * s1y
+        // only insert if the crossing is interior to the hexagon edge
+        val eps = 1e-7
+        val atP0 = math.abs(ix - p0(0)) < eps && math.abs(iy - p0(1)) < eps
+        val atP1 = math.abs(ix - p1(0)) < eps && math.abs(iy - p1(1)) < eps
+        if (!atP0 && !atP1) {
+          val g = hex2dToGeo(centerFace, ix, iy, adjRes, substrate = true)
+          out += ((math.toDegrees(g(0)), math.toDegrees(constrainLng(g(1)))))
+        }
+      }
+      if (vert < 6) {
+        val h2 = ijkToHex2d(fv.coord)
+        val g = hex2dToGeo(fv.face, h2(0), h2(1), adjRes, substrate = true)
+        val pt = (math.toDegrees(g(0)), math.toDegrees(constrainLng(g(1))))
+        // pentagons fold two substrate corners onto one point — dedup
+        if (!out.exists(p => math.abs(p._1 - pt._1) < 1e-9 &&
+                             math.abs(p._2 - pt._2) < 1e-9)) out += pt
+      }
+      lastFace = fv.face
+      lastOverage = overage
+      vert += 1
     }
     out.toArray
   }

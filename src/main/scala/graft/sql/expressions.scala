@@ -824,8 +824,9 @@ case class H3UIsPentagon(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** h3u_disk(id, k) → ARRAY<LONG> — all Uber-H3-compatible cells within grid
-  * distance k (gridDisk SET; traversal order not H3-canonical). */
+/** h3u_disk(id, k) → ARRAY<LONG> — all Uber-H3-compatible cells within
+  * grid distance k, in H3's canonical gridDisk spiral order (BFS set order
+  * near pentagons, mirroring H3's unsafe→safe fallback). */
 case class H3UDisk(left: Expression, right: Expression)
     extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

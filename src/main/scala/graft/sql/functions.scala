@@ -117,7 +117,7 @@ object GraftFunctions {
       (e: Seq[Expression]) => { require(e.length == 1, "h3u_token(id)"); H3UToken(cL(e(0))) }),
     ("h3u_is_pentagon", "h3u_is_pentagon(id) - true for the 12 pentagon lineages",
       (e: Seq[Expression]) => { require(e.length == 1, "h3u_is_pentagon(id)"); H3UIsPentagon(cL(e(0))) }),
-    ("h3u_disk", "h3u_disk(id, k) - all cells within grid distance k (gridDisk set)",
+    ("h3u_disk", "h3u_disk(id, k) - cells within grid distance k (canonical gridDisk order)",
       (e: Seq[Expression]) => { require(e.length == 2, "h3u_disk(id, k)"); H3UDisk(cL(e(0)), cI(e(1))) }),
     ("h3u_boundary_wkt", "h3u_boundary_wkt(id) - cell corner polygon as WKT",
       (e: Seq[Expression]) => { require(e.length == 1, "h3u_boundary_wkt(id)"); H3UBoundaryWkt(cL(e(0))) }),

@@ -128,32 +128,115 @@ class H3USpec extends AnyFunSuite {
     def norm(a: Array[Double]) = {
       val m = math.sqrt(dot(a, a)); Array(a(0) / m, a(1) / m, a(2) / m)
     }
-    // spherical polygon area by angle excess (convex cells)
+    // spherical polygon area: SIGNED triangle fan from an interior point —
+    // robust for the slightly concave 7/8-gons that icosa-edge distortion
+    // vertices produce (the pure angle-excess form assumes convexity)
+    def triArea(a: Array[Double], b: Array[Double], c: Array[Double]): Double = {
+      def ang(p: Array[Double], q: Array[Double], r: Array[Double]) = {
+        val u = norm(sub(q, p, dot(q, p))); val v = norm(sub(r, p, dot(r, p)))
+        math.acos(math.max(-1.0, math.min(1.0, dot(u, v))))
+      }
+      val e = ang(a, b, c) + ang(b, c, a) + ang(c, a, b) - math.Pi
+      val det = a(0) * (b(1) * c(2) - b(2) * c(1)) -
+                a(1) * (b(0) * c(2) - b(2) * c(0)) +
+                a(2) * (b(0) * c(1) - b(1) * c(0))
+      if (det >= 0) e else -e
+    }
     def area(vs: Array[(Double, Double)]): Double = {
       val p = vs.map(xyz); val n = p.length
-      var s = 0.0
-      var i = 0
-      while (i < n) {
-        val a = p((i + n - 1) % n); val b = p(i); val c = p((i + 1) % n)
-        val u = norm(sub(a, b, dot(a, b))); val v = norm(sub(c, b, dot(c, b)))
-        s += math.acos(math.max(-1.0, math.min(1.0, dot(u, v))))
-        i += 1
-      }
-      s - (n - 2) * math.Pi
+      val cx = Array(p.map(_(0)).sum, p.map(_(1)).sum, p.map(_(2)).sum)
+      val c = norm(cx)
+      (0 until n).map(i => triArea(c, p(i), p((i + 1) % n))).sum
     }
     var total = 0.0
+    val hist = scala.collection.mutable.Map.empty[Int, Int]
     H3U.res0Cells.foreach { c0 =>
       H3U.cellToChildren(c0, 1).foreach { id =>
         val b = H3U.cellToBoundary(id)
-        assert(b.length == (if (H3U.isPentagon(id)) 5 else 6),
-          s"${H3U.token(id)} has ${b.length} corners")
+        if (H3U.isPentagon(id))
+          assert(b.length == 5, s"${H3U.token(id)} has ${b.length} corners")
+        else {
+          // 6 topological corners + 0..2 icosa-edge distortion vertices
+          assert(b.length >= 6 && b.length <= 8,
+            s"${H3U.token(id)} has ${b.length} corners")
+          hist(b.length) = hist.getOrElse(b.length, 0) + 1
+        }
         val a = area(b)
         assert(a > 0.0, s"${H3U.token(id)} non-ccw/degenerate boundary")
         total += a
       }
     }
+    // distortion census at res 1: stable derived golden — 240 hexagons
+    // cross one icosa edge, 30 cross two
+    assert(hist.toMap == Map(6 -> 560, 7 -> 240, 8 -> 30), hist.toString)
     assert(math.abs(total - 4.0 * math.Pi) < 0.01 * 4.0 * math.Pi,
       s"res-1 cells cover $total sr, expected ${4 * math.Pi}")
+  }
+
+  test("cellToBoundary: Class III icosa-edge distortion vertices are exact") {
+    // golden: a res-1 face-edge-crossing hexagon gains its distortion vertex
+    assert(H3U.cellToBoundary(H3U.fromToken("81017ffffffffff")).length == 7)
+    // a Class II cell never gains vertices
+    assert(H3U.cellToBoundary(H3U.fromToken("8928308280fffff")).length == 6)
+    // every distortion vertex is SHARED: the adjacent cell crossing the
+    // same icosa edge inserts the same point (the two projection planes
+    // agree on the edge), so boundaries still tile without slivers
+    var checkedCells = 0
+    H3U.res0Cells.take(40).foreach { c0 =>
+      H3U.cellToChildren(c0, 3).foreach { id =>
+        // skip pentagon-adjacent cells: pentagons keep the corner-only
+        // approximation, so the shared distortion vertex is absent there
+        if (!H3U.isPentagon(id) && !H3U.neighbors(id).exists(H3U.isPentagon)) {
+          val b = H3U.cellToBoundary(id)
+          if (b.length > 6) {
+            checkedCells += 1
+            val nbCorners = H3U.neighbors(id).flatMap(H3U.cellToBoundary)
+            b.foreach { c =>
+              val hits = nbCorners.count(p =>
+                math.abs(p._1 - c._1) < 1e-7 && math.abs(p._2 - c._2) < 1e-7)
+              assert(hits >= 1,
+                s"vertex $c of ${H3U.token(id)} not shared with any neighbor")
+            }
+          }
+        }
+      }
+    }
+    assert(checkedCells > 10, s"only $checkedCells edge-crossing cells exercised")
+  }
+
+  test("gridDisk: canonical spiral ORDER matches the published SF k=1 listing") {
+    val got = H3U.gridDisk(H3U.fromToken("8928308280fffff"), 1).map(H3U.token).toSeq
+    assert(got == Seq("8928308280fffff", "8928308280bffff", "89283082873ffff",
+      "89283082877ffff", "8928308283bffff", "89283082807ffff", "89283082803ffff"), got)
+  }
+
+  test("gridDiskSpiral: ring-exact and set-identical to BFS wherever it runs") {
+    val rnd = new scala.util.Random(17)
+    var checked = 0; var fellBack = 0
+    (1 to 400).foreach { _ =>
+      val res = 1 + rnd.nextInt(9)
+      val id = H3U.latLngToCell(rnd.nextDouble() * 178 - 89, rnd.nextDouble() * 360 - 180, res)
+      val k = 1 + rnd.nextInt(3)
+      H3U.gridDiskSpiral(id, k) match {
+        case None => fellBack += 1 // pentagon-base vicinity → BFS fallback
+        case Some(s) =>
+          checked += 1
+          assert(s.length == 1 + 3 * k * (k + 1), s"${H3U.token(id)} k=$k n=${s.length}")
+          assert(s.toSet == H3U.gridDiskBfs(id, k).toSet,
+            s"spiral derailed at ${H3U.token(id)} k=$k")
+          // within a ring, consecutively emitted cells are adjacent (a true
+          // boundary walk; ring transitions hop distance 2 by construction)
+          var off = 1
+          (1 to k).foreach { r =>
+            (off + 1 until off + 6 * r).foreach { idx =>
+              assert(H3U.neighbors(s(idx - 1)).contains(s(idx)),
+                s"ring $r walk of ${H3U.token(id)} broke adjacency at $idx")
+            }
+            off += 6 * r
+          }
+      }
+    }
+    assert(checked > 250, s"spiral ran only $checked/400 times")
   }
 
   test("cellToBoundary: corners shared with adjacent cells (within lattice tolerance)") {
