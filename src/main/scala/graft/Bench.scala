@@ -21,17 +21,25 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     graft.sql.GraftFunctions.register(spark)
 
+    // dev-only subset filter (comma-separated names); when set, the headline
+    // workload is skipped too — the driver never sets it
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY").map(_.split(",").toSet)
+
     // headline FIRST: the 33-query suite pollutes JIT profiles enough to
     // slow the hot tile-assign loop ~6x if measured afterwards
-    val headline = BenchWork.headline(spark,
-      rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "100000000").toLong)
+    val headline =
+      if (only.isDefined) Seq.empty
+      else BenchWork.headline(spark,
+        rows = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROWS", "100000000").toLong)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
-                catch { case e: Throwable => Some(e.getClass.getSimpleName) }
-      (name, (System.nanoTime() - t0) / 1e9, err)
-    }
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); None }
+                  catch { case e: Throwable => Some(e.getClass.getSimpleName) }
+        (name, (System.nanoTime() - t0) / 1e9, err)
+      }
 
     // a failed query is reported as an error object, never as a (fast) time
     val qs = results.map {

@@ -210,12 +210,21 @@ object SpatialOps {
     // without this bound an empty table would expand ring-by-ring to the
     // whole grid, one count job per ring)
     val target = math.min(k.toLong, totalRows)
+    // ring batches DOUBLE between counts: for the in-plan variants each
+    // count is a Spark job over the candidate scan, so growth must cost
+    // O(log rings) jobs, not one job per ring (the over-expansion is at
+    // most one doubling — extra cells only widen the exact final scan)
+    var step = 1L
     while (found < target && r < maxRings) {
-      // distinct BEFORE counting: at coarse precisions wrapped ring cells can
-      // repeat, and manifest-count duplicates would stop expansion early
-      accCells = (accCells ++ ringCells(r)).distinct
+      val rEnd = math.min(r + step, maxRings)
+      while (r < rEnd) {
+        // distinct BEFORE counting: at coarse precisions wrapped ring cells
+        // can repeat, and manifest-count duplicates would stop expansion early
+        accCells = (accCells ++ ringCells(r)).distinct
+        r += 1
+      }
       found = countCells(accCells)
-      r += 1
+      step *= 2
     }
     val dist = (col(lonCol) - qLon) * (col(lonCol) - qLon) +
                (col(latCol) - qLat) * (col(latCol) - qLat)
@@ -247,15 +256,16 @@ object SpatialOps {
               tieCol: String): DataFrame = {
     val spark = points.sparkSession
     import spark.implicits._
-    val tiled = withTile(points, lonCol, latCol, bits, "__cell").cache()
-    try {
-      def scan(cells: Seq[Long]): DataFrame =
-        tiled.join(broadcast(cells.toDF("__cell")), "__cell")
-      knnExpand(spark, lonCol, latCol, qLon, qLat, k, bits, tieCol,
-          scan, cells => scan(cells).count(), tiled.count())
-        .withColumn("qid", lit(qid))
-        .drop("__cell")
-    } finally tiled.unpersist()
+    // NO cache: the doubling expansion needs only O(log rings) count jobs,
+    // and each re-scan recomputes a codegen'd encode — far cheaper than
+    // materializing the whole input (which a 100 TB table could not afford)
+    val tiled = withTile(points, lonCol, latCol, bits, "__cell")
+    def scan(cells: Seq[Long]): DataFrame =
+      tiled.join(broadcast(cells.toDF("__cell")), "__cell")
+    knnExpand(spark, lonCol, latCol, qLon, qLat, k, bits, tieCol,
+        scan, cells => scan(cells).count(), points.count())
+      .withColumn("qid", lit(qid))
+      .drop("__cell")
   }
 
   /** [[knnRing]] on the Uber-H3 index: expansion rings are gridDisk shells
@@ -279,15 +289,14 @@ object SpatialOps {
     }
     val cellMinDeg = math.toDegrees(graft.core.H3U.maxPitchRad(res)) * 0.6
     val maxRings = (math.Pi / (graft.core.H3U.maxPitchRad(res) * 0.6)).toLong + 2
-    val keyed = points.withColumn("__cell", gf.h3u_cell(col(lonCol), col(latCol), res)).cache()
-    try {
-      def scan(cells: Seq[Long]): DataFrame =
-        keyed.join(broadcast(cells.toDF("__cell")), "__cell")
-      knnExpandCore(spark, lonCol, latCol, qLon, qLat, k, tieCol,
-          h3Ring, cellMinDeg, maxRings, scan, cells => scan(cells).count(), keyed.count())
-        .withColumn("qid", lit(qid))
-        .drop("__cell")
-    } finally keyed.unpersist()
+    // no cache — see knnRing: O(log rings) count jobs re-encode in codegen
+    val keyed = points.withColumn("__cell", gf.h3u_cell(col(lonCol), col(latCol), res))
+    def scan(cells: Seq[Long]): DataFrame =
+      keyed.join(broadcast(cells.toDF("__cell")), "__cell")
+    knnExpandCore(spark, lonCol, latCol, qLon, qLat, k, tieCol,
+        h3Ring, cellMinDeg, maxRings, scan, cells => scan(cells).count(), points.count())
+      .withColumn("qid", lit(qid))
+      .drop("__cell")
   }
 
   /** kNN against a PRE-TILED Iceberg-lite table: each expansion step reads
