@@ -14,11 +14,12 @@ import graft.data.ImageGen
   * analogue of `mapInPandas` (one JVM decode context reused across the
   * partition's rows, no per-row UDF setup).
   *
-  * Real vs stubbed (this container has javax.imageio but no audio/video
-  * codecs): image decode/resize/metadata are REAL; `frameSample` (video)
-  * and `audioFeatures` are STUBS — deterministic fakes behind the same
-  * schema/partitioning/batch plumbing, clearly marked, so swapping in a
-  * real codec touches exactly one function.
+  * Real vs stubbed: image decode/resize/metadata are REAL (javax.imageio);
+  * `audioFeatures` is REAL (pure-spec RIFF/WAVE PCM parser in
+  * [[graft.core.Wav]] — WAV needs no codec library); only `frameSample`
+  * (video) remains a STUB — a deterministic fake behind the same
+  * schema/partitioning/batch plumbing, clearly marked, because no video
+  * codec exists in this container.
   */
 object MediaOps {
 
@@ -84,26 +85,33 @@ object MediaOps {
       }
   }
 
-  /** STUB (no audio codec): deterministic fake features computed from the
-    * raw bytes (interpreting them as 8-bit samples) — stable, testable
-    * plumbing with the real feature schema. */
-  def audioFeatures(df: DataFrame, idCol: String, bytesCol: String,
-                    sampleRate: Int = 16000): Dataset[AudioFeat] = {
+  /** REAL: parse the payload as RIFF/WAVE PCM ([[graft.core.Wav]] — a
+    * pure-spec parser, no codec library needed) and compute duration, RMS
+    * and zero-crossing rate over the normalized samples. Non-WAV or
+    * malformed payloads yield a (-1, NaN, NaN) error row instead of
+    * failing the partition — at 10⁹ rows a handful of corrupt blobs must
+    * not kill the job. Batch shape: rows streamed per partition, no
+    * per-row parser setup. */
+  def audioFeatures(df: DataFrame, idCol: String, bytesCol: String): Dataset[AudioFeat] = {
     import df.sparkSession.implicits._
     df.select(col(idCol), col(bytesCol)).as[(String, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          var sumSq = 0.0; var crossings = 0
-          var i = 1
-          while (i < bytes.length) {
-            val s = bytes(i).toDouble / 128.0
-            sumSq += s * s
-            if ((bytes(i) >= 0) != (bytes(i - 1) >= 0)) crossings += 1
-            i += 1
+          try {
+            val pcm = graft.core.Wav.decode(bytes)
+            val s = pcm.samples
+            var sumSq = 0.0; var crossings = 0
+            var i = 0
+            while (i < s.length) {
+              sumSq += s(i) * s(i)
+              if (i > 0 && (s(i) >= 0.0) != (s(i - 1) >= 0.0)) crossings += 1
+              i += 1
+            }
+            val n = math.max(1, s.length)
+            AudioFeat(id, pcm.durationS, math.sqrt(sumSq / n), crossings.toDouble / n)
+          } catch {
+            case _: IllegalArgumentException => AudioFeat(id, -1.0, Double.NaN, Double.NaN)
           }
-          val nSamp = math.max(1, bytes.length)
-          AudioFeat(id, nSamp.toDouble / sampleRate,
-            math.sqrt(sumSq / nSamp), crossings.toDouble / nSamp)
         }
       }
   }

@@ -50,11 +50,66 @@ class MediaOpsSpec extends AnyFunSuite {
     assert(frames.groupBy(_.media_id).forall(_._2.map(_.frame_idx).sorted.sameElements(0 until 4)))
   }
 
-  test("audioFeatures stub: schema + determinism + sane ranges") {
-    val f = MediaOps.audioFeatures(imgs, "image_id", "bytes").collect()
-    assert(f.length == 60)
-    f.foreach { x =>
-      assert(x.duration_s > 0 && x.rms >= 0 && x.rms <= 1.01 && x.zcr >= 0 && x.zcr <= 1)
+  test("audioFeatures: REAL WAV parse — golden sine features") {
+    import spark.implicits._
+    // 440 Hz sine, amplitude 0.5, 0.5 s @ 16 kHz mono, no noise
+    val bytes = graft.core.Wav.synth(seed = 1L, freqHz = 440.0, amplitude = 0.5,
+      noise = 0.0, seconds = 0.5)
+    val f = MediaOps.audioFeatures(
+      Seq(("a0", bytes)).toDF("media_id", "bytes"), "media_id", "bytes").collect().head
+    assert(f.duration_s == 0.5, s"duration ${f.duration_s}")
+    // sine RMS = A/sqrt(2)
+    assert(math.abs(f.rms - 0.5 / math.sqrt(2.0)) < 0.005, s"rms ${f.rms}")
+    // sine crosses zero 2f times per second -> zcr = 2*440/16000
+    assert(math.abs(f.zcr - 2.0 * 440.0 / 16000.0) < 0.003, s"zcr ${f.zcr}")
+  }
+
+  test("audioFeatures: dual path — pipeline features == direct-sample arithmetic") {
+    import spark.implicits._
+    val rows = (0 until 20).map { i =>
+      (f"aud$i%03d", graft.core.Wav.synth(seed = i.toLong, freqHz = 100.0 + 37.0 * i,
+        amplitude = 0.1 + 0.04 * i, noise = 0.02 * (i % 5), seconds = 0.1 + 0.01 * i))
     }
+    val got = MediaOps.audioFeatures(rows.toDF("media_id", "bytes"), "media_id", "bytes")
+      .collect().map(a => a.media_id -> a).toMap
+    rows.foreach { case (id, bytes) =>
+      // independent second path: decode here and recompute the features
+      val pcm = graft.core.Wav.decode(bytes)
+      var sumSq = 0.0; var cr = 0
+      pcm.samples.indices.foreach { i =>
+        sumSq += pcm.samples(i) * pcm.samples(i)
+        if (i > 0 && (pcm.samples(i) >= 0) != (pcm.samples(i - 1) >= 0)) cr += 1
+      }
+      val a = got(id)
+      assert(a.duration_s == pcm.durationS, id)
+      assert(a.rms == math.sqrt(sumSq / pcm.samples.length), id)
+      assert(a.zcr == cr.toDouble / pcm.samples.length, id)
+    }
+  }
+
+  test("Wav codec: encode/decode round-trip, 8-bit support, malformed -> error row") {
+    import spark.implicits._
+    val samples = Array.tabulate(1000)(i => math.sin(i * 0.05) * 0.8)
+    val pcm = graft.core.Wav.decode(graft.core.Wav.encode(samples, 22050, 1))
+    assert(pcm.sampleRate == 22050 && pcm.channels == 1 && pcm.samples.length == 1000)
+    samples.zip(pcm.samples).foreach { case (a, b) =>
+      // encode scales by 32767, decode divides by 32768: quantization plus
+      // the scale asymmetry bounds the error by (0.5 + |a|)/32768
+      assert(math.abs(a - b) <= (0.5 + math.abs(a)) / 32768.0, s"$a vs $b")
+    }
+    // stereo framing: duration counts frames, not raw samples
+    val st = graft.core.Wav.decode(graft.core.Wav.encode(new Array[Double](800), 8000, 2))
+    assert(st.frames == 400 && st.durationS == 0.05)
+    // 8-bit unsigned PCM decodes around the 128 midpoint
+    val b8 = java.nio.ByteBuffer.allocate(44 + 4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b8.put("RIFF".getBytes).putInt(36 + 4).put("WAVE".getBytes)
+      .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+      .putInt(8000).putInt(8000).putShort(1).putShort(8)
+      .put("data".getBytes).putInt(4).put(Array[Byte](128.toByte, 255.toByte, 0, 128.toByte))
+    val p8 = graft.core.Wav.decode(b8.array())
+    assert(p8.samples(0) == 0.0 && p8.samples(1) > 0.99 && p8.samples(2) == -1.0)
+    // non-WAV payloads (the image bytes) become error rows, not failures
+    val bad = MediaOps.audioFeatures(imgs.limit(3), "image_id", "bytes").collect()
+    assert(bad.forall(a => a.duration_s == -1.0 && a.rms.isNaN))
   }
 }
