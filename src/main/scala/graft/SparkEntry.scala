@@ -54,6 +54,12 @@ object SparkEntry {
   private val knnQueries = Seq((1, -0.75, 51.25), (2, 139.75, 35.5), (3, -46.5, -23.5))
   private val franceQuad = Array(-2.5, 41.0, 3.0, 41.5, 2.0, 48.0, -4.5, 47.5)
   private val franceWkt = "POLYGON ((-2.5 41.0, 3.0 41.5, 2.0 48.0, -4.5 47.5, -2.5 41.0))"
+  // L-shaped region (bottom bar + left bar): its bbox polyfill would cover
+  // ~2x the cells of the true polygonToCells covering — q59's point
+  private val lShapeQuad = Array(-5.0, 40.0, 10.0, 40.0, 10.0, 44.0,
+    -1.0, 44.0, -1.0, 55.0, -5.0, 55.0)
+  private val lShapeWkt =
+    "POLYGON ((-5.0 40.0, 10.0 40.0, 10.0 44.0, -1.0 44.0, -1.0 55.0, -5.0 55.0, -5.0 40.0))"
   private val blockCenter = (-0.125, 51.5)
   private val gridBox = BBox(-10.0, 40.0, 10.0, 55.0) // q46 dense-grid extent
 
@@ -298,6 +304,21 @@ object SparkEntry {
       pts.withColumn("__h3", gf.h3u_cell(col("lon"), col("lat"), 5))
         .join(broadcast(cells), "__h3").drop("__h3")
         .where(gf.st_contains_wkt(lit(franceWkt), col("lon"), col("lat")))
+        .select("c_custkey", "lon", "lat")
+    },
+    "q59_h3u_poly_pip" -> gq { (s, dir) =>
+      // TRUE polygonToCells prefilter (H3U.polyfillPoly): an L-shaped
+      // polygon's bbox polyfill covers ~2x the cells of the polygon
+      // covering; the broadcast IN-join prefilters to the tight set and
+      // the exact ray-cast refines — result is pure PIP, so the same
+      // DuckDB oracle shape as q57 checks it
+      import s.implicits._
+      val rings = graft.core.GeoMath.parseWktPolygon(lShapeWkt)
+      val cells = graft.core.H3U.polyfillPoly(rings, 5).toSeq.toDF("__h3")
+      val pts = SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey")
+      pts.withColumn("__h3", gf.h3u_cell(col("lon"), col("lat"), 5))
+        .join(broadcast(cells), "__h3").drop("__h3")
+        .where(gf.st_contains_wkt(lit(lShapeWkt), col("lon"), col("lat")))
         .select("c_custkey", "lon", "lat")
     },
     "q55_h3u_cells" -> gq { (s, dir) =>
@@ -574,6 +595,9 @@ object SparkEntry {
       "q57_h3u_pip" -> // same semantics as q08 (H3-indexed physical path)
         s"""$custIdx SELECT c_custkey, _lon AS lon, _lat AS lat FROM _idx
            | WHERE ${pipSql("_lon", "_lat", franceQuad)}""".stripMargin.replace("\n", " "),
+      "q59_h3u_poly_pip" -> // polygonToCells prefilter + exact refine == pure PIP
+        s"""$custIdx SELECT c_custkey, _lon AS lon, _lat AS lat FROM _idx
+           | WHERE ${pipSql("_lon", "_lat", lShapeQuad)}""".stripMargin.replace("\n", " "),
       "q56_h3u_box" ->
         s"""$custIdx SELECT c_custkey, _lon AS lon, _lat AS lat FROM _idx
            | WHERE _lon >= ${londonBox.minLon} AND _lon <= ${londonBox.maxLon}

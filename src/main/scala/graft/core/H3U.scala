@@ -1261,6 +1261,79 @@ object H3U {
     seen.toArray
   }
 
+  /** Conservative covering of a POLYGON (same contract as [[polyfillBox]]:
+    * every point inside the polygon encodes to a returned cell; extra
+    * boundary cells may appear — callers refine exactly). The engine's
+    * polygonToCells: BFS flood fill over [[neighbors]] seeded at every
+    * outer-ring vertex, keeping cells whose center is inside the polygon
+    * or within one cell pitch of any ring edge. For an L-shaped or sparse
+    * polygon this is a strictly tighter covering than the bbox polyfill.
+    *
+    * `rings`: outer ring first, then holes, each as flat (lon, lat)*
+    * (GeoMath.parseWktPolygon's layout). Soundness of the pad: a point
+    * p in the polygon lies in a cell whose center is within the cell
+    * circumradius ≤ pitch of p, so that center is within pitch of the
+    * polygon region and passes the edge-distance test. Distances are
+    * measured in degree space with Δlon scaled by cos(|lat|+pad) — an
+    * UNDER-estimate of nothing: shrinking Δlon only keeps more cells,
+    * which is the conservative direction. */
+  def polyfillPoly(rings: Array[Array[Double]], res: Int,
+                   maxCells: Int = 1 << 20): Array[Long] = {
+    require(rings.nonEmpty && rings.head.length >= 6, "polyfillPoly needs a polygon")
+    val padDeg = math.toDegrees(maxPitchRad(res))
+    // squared distance (scaled degrees) from (lon, lat) to segment a-b
+    def segDist2(lon: Double, lat: Double,
+                 ax: Double, ay: Double, bx: Double, by: Double, s: Double): Double = {
+      val dx = (bx - ax) * s; val dy = by - ay
+      val px = (lon - ax) * s; val py = lat - ay
+      val len2 = dx * dx + dy * dy
+      val t = if (len2 <= 0.0) 0.0 else math.max(0.0, math.min(1.0, (px * dx + py * dy) / len2))
+      val ex = px - t * dx; val ey = py - t * dy
+      ex * ex + ey * ey
+    }
+    def keep(lonLat: (Double, Double)): Boolean = {
+      val (lat, lon) = lonLat // cellToLatLng order
+      if (GeoMath.pointInPolygon(lon, lat, rings)) return true
+      val s = math.cos(math.toRadians(math.min(89.9, math.abs(lat) + padDeg)))
+      val pad2 = padDeg * padDeg
+      var r = 0
+      while (r < rings.length) {
+        val ring = rings(r); val n = ring.length / 2
+        var i = 0
+        while (i < n) {
+          val j = (i + 1) % n
+          if (segDist2(lon, lat, ring(2 * i), ring(2 * i + 1),
+                       ring(2 * j), ring(2 * j + 1), s) <= pad2) return true
+          i += 1
+        }
+        r += 1
+      }
+      false
+    }
+    val outer = rings.head
+    val seen = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var frontier = List.empty[Long]
+    (0 until outer.length / 2).foreach { i =>
+      val c = latLngToCell(outer(2 * i + 1), outer(2 * i), res)
+      if (!seen(c)) { seen += c; frontier ::= c }
+    }
+    while (frontier.nonEmpty) {
+      val next = scala.collection.mutable.ListBuffer.empty[Long]
+      frontier.foreach { c =>
+        neighbors(c).foreach { n =>
+          if (!seen(n) && keep(cellToLatLng(n))) {
+            seen += n
+            require(seen.size <= maxCells,
+              s"polyfillPoly would produce > $maxCells cells; use a coarser res")
+            next += n
+          }
+        }
+      }
+      frontier = next.toList
+    }
+    seen.toArray
+  }
+
   // aperture-3 substrate scalings (published _downAp3 / _downAp3r)
   private def downAp3(c: IJK): Unit = { // i→(2,0,1) j→(1,2,0) k→(0,1,2)
     val ni = 2 * c.i + c.j

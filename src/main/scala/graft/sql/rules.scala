@@ -92,7 +92,7 @@ object DeriveCoveringPrune extends Rule[LogicalPlan] {
               case _ => false
             }
             box <- boundsOf(conjuncts, lonAttr, latAttr)
-            cells <- coveringCells(m, box, bits)
+            cells <- coveringCells(m, box, bits, pipRingsOf(conjuncts, lonAttr, latAttr))
             inList = In(prefixAttr, cells.toSeq.map(cellLiteral(_, prefixAttr))).asInstanceOf[Expression]
           } yield Filter(And(cond, inList), l)).getOrElse(f)
         case None => f
@@ -107,16 +107,24 @@ object DeriveCoveringPrune extends Rule[LogicalPlan] {
     * west-column union at maxLon ≥ 180), H3 bounds the polyfill BFS. */
   private def coveringCells(m: graft.data.IcebergLite.Manifest,
                             box: (Double, Double, Double, Double),
-                            bits: Int): Option[Array[Long]] = {
+                            bits: Int,
+                            pipRings: Option[Array[Array[Double]]]): Option[Array[Long]] = {
     val (minLon, minLat, maxLon, maxLat) = box
     m.properties.getOrElse(graft.data.IcebergLite.PropIndexType, "gh") match {
       case "h3u" =>
         try Some {
-          if (minLon <= maxLon)
-            graft.core.H3U.polyfillBox(minLon, minLat, maxLon, maxLat, bits, MaxInCells)
-          else
-            (graft.core.H3U.polyfillBox(minLon, minLat, 180.0, maxLat, bits, MaxInCells) ++
-             graft.core.H3U.polyfillBox(-180.0, minLat, maxLon, maxLat, bits, MaxInCells)).distinct
+          pipRings match {
+            // a PIP conjunct restricts rows to the polygon itself, so the
+            // TRUE polygonToCells covering is sound and strictly tighter
+            // than the bbox polyfill for L-shaped / sparse polygons
+            case Some(rings) =>
+              graft.core.H3U.polyfillPoly(rings, bits, MaxInCells)
+            case None if minLon <= maxLon =>
+              graft.core.H3U.polyfillBox(minLon, minLat, maxLon, maxLat, bits, MaxInCells)
+            case None =>
+              (graft.core.H3U.polyfillBox(minLon, minLat, 180.0, maxLat, bits, MaxInCells) ++
+               graft.core.H3U.polyfillBox(-180.0, minLat, maxLon, maxLat, bits, MaxInCells)).distinct
+          }
         } catch { case _: IllegalArgumentException => None } // covering too large
       case _ =>
         val (_, cx, cy) = Geohash.gridProperties(minLon, minLat, maxLon, maxLat, bits)
@@ -260,6 +268,20 @@ object DeriveCoveringPrune extends Rule[LogicalPlan] {
       Some((wrapLo, minLat, wrapHi, maxLat)) // wrapped: minLon > maxLon
     else None
   }
+
+  /** The rings of a foldable-WKT PIP conjunct over the RECORDED lon/lat
+    * columns, when present — enables the polygon (rather than bbox)
+    * polyfill in the h3u arm. Non-wrapped polygons only ([[graft.core.H3U
+    * .polyfillPoly]] measures edge distance in plain degree space). */
+  private def pipRingsOf(conjuncts: Seq[Expression],
+                         lon: AttributeReference, lat: AttributeReference):
+      Option[Array[Array[Double]]] =
+    conjuncts.collectFirst {
+      case StContainsWkt(wkt, lonE, latE)
+          if wkt.foldable && wkt.eval(null) != null &&
+             lonE.semanticEquals(lon) && latE.semanticEquals(lat) =>
+        GeoMath.parseWktPolygon(wkt.eval(null).asInstanceOf[UTF8String].toString)
+    }
 
   private def splitConjuncts(e: Expression): Seq[Expression] = e match {
     case And(l, r) => splitConjuncts(l) ++ splitConjuncts(r)

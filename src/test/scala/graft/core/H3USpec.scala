@@ -270,6 +270,42 @@ class H3USpec extends AnyFunSuite {
     }
   }
 
+  test("polyfillPoly: sound covering, strictly tighter than bbox for an L-shape") {
+    val lRings = Array(Array(-5.0, 40.0, 10.0, 40.0, 10.0, 44.0,
+      -1.0, 44.0, -1.0, 55.0, -5.0, 55.0))
+    (3 to 5).foreach { res =>
+      val cells = H3U.polyfillPoly(lRings, res).toSet
+      val bbox = H3U.polyfillBox(-5.0, 40.0, 10.0, 55.0, res)
+      assert(cells.size < bbox.length,
+        s"res $res: poly ${cells.size} !< bbox ${bbox.length}")
+      // soundness: every sampled in-polygon point's cell is covered
+      val rnd = new scala.util.Random(23 + res)
+      var checked = 0
+      while (checked < 300) {
+        val lon = rnd.nextDouble() * 15.0 - 5.0
+        val lat = rnd.nextDouble() * 15.0 + 40.0
+        if (GeoMath.pointInPolygon(lon, lat, lRings)) {
+          assert(cells(H3U.latLngToCell(lat, lon, res)), s"res $res: ($lon, $lat) not covered")
+          checked += 1
+        }
+      }
+    }
+    // polygon with a hole: points in the ring stay covered, hole edges too
+    val holed = Array(
+      Array(0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0),
+      Array(3.0, 3.0, 7.0, 3.0, 7.0, 7.0, 3.0, 7.0))
+    val hc = H3U.polyfillPoly(holed, 4).toSet
+    val rnd = new scala.util.Random(7)
+    var checked = 0
+    while (checked < 200) {
+      val lon = rnd.nextDouble() * 10.0; val lat = rnd.nextDouble() * 10.0
+      if (GeoMath.pointInPolygon(lon, lat, holed)) {
+        assert(hc(H3U.latLngToCell(lat, lon, 4)), s"($lon, $lat) not covered")
+        checked += 1
+      }
+    }
+  }
+
   test("fast projection == published-form projection: cell-identical everywhere sampled") {
     // all res-3 cell centers through both paths
     H3U.res0Cells.foreach { c0 =>

@@ -318,6 +318,46 @@ class PlanSpec extends AnyFunSuite {
            viaJoin.exceptAll(q.select("c_custkey")).isEmpty)
   }
 
+  test("DeriveCoveringPrune: L-shaped PIP derives the polygon polyfill, tighter than bbox") {
+    val dir = java.nio.file.Files.createTempDirectory("h3_poly_prune").toString
+    val pts = SpatialOps.withDerivedPosition(
+      spark.read.parquet("/root/testdata/sf0.01/customer.parquet").select("c_custkey"), "c_custkey")
+    graft.data.IcebergLite.writeTiledH3(pts, s"$dir/t", "lon", "lat", 7, 3)
+    val tbl = graft.data.IcebergLite.read(spark, s"$dir/t")
+    val lWkt = "POLYGON ((-5.0 40.0, 10.0 40.0, 10.0 44.0, -1.0 44.0, -1.0 55.0, -5.0 55.0, -5.0 40.0))"
+    val q = tbl.where(gf.st_contains_wkt(lit(lWkt), $"lon", $"lat"))
+    // the derived IN-list is the POLYGON covering: strictly fewer cells
+    // than the bbox polyfill at the table's partition res (3)
+    val rings = graft.core.GeoMath.parseWktPolygon(lWkt)
+    val polyCells = graft.core.H3U.polyfillPoly(rings, 3).length
+    val bboxCells = graft.core.H3U.polyfillBox(-5.0, 40.0, 10.0, 55.0, 3).length
+    assert(polyCells < bboxCells, s"poly $polyCells !< bbox $bboxCells")
+    val inCells = q.queryExecution.optimizedPlan.collect {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, _) =>
+        cond.collect {
+          case org.apache.spark.sql.catalyst.expressions.In(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference, list)
+            if a.name == "tile_p" => list.length
+          case org.apache.spark.sql.catalyst.expressions.InSet(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference, set)
+            if a.name == "tile_p" => set.size
+        }
+    }.flatten
+    assert(inCells.nonEmpty, "no derived IN-list on tile_p")
+    assert(inCells.head == polyCells,
+      s"derived IN-list has ${inCells.head} cells, polygon covering has $polyCells")
+    // and the prune reaches the scan as a partition filter
+    val pf = q.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("tile_p#"), s"no partition prune derived: $pf")
+    // results identical to the unpruned exact PIP
+    val expect = pts.where(gf.st_contains_wkt(lit(lWkt), $"lon", $"lat")).select("c_custkey")
+    assert(q.select("c_custkey").exceptAll(expect).isEmpty &&
+           expect.exceptAll(q.select("c_custkey")).isEmpty,
+      "polygon polyfill prune changed results")
+    assert(q.count() > 0)
+  }
+
   test("rangeJoinCells: mixed-precision prefix join plans as a broadcast equi-join") {
     val cust = SpatialOps.withTile(SpatialOps.withDerivedPosition(
       spark.read.parquet(s"$sf/customer.parquet").select("c_custkey"), "c_custkey"),
