@@ -52,6 +52,9 @@ object IcebergLite {
   /** "gh" (Morton geohash, default) or "h3u" (Uber-H3-compatible cells);
     * selects which covering DeriveCoveringPrune derives. */
   val PropIndexType = "tile.index"
+  /** Streaming-ingest hygiene: compact (+ expire) whenever the manifest
+    * references this many distinct snapshots. Absent/0 = manual only. */
+  val PropAutoCompact = "compact.auto.snapshots"
 
   private def manifestDir(table: String) = Paths.get(table, "_manifests")
   private def currentPtr(table: String) = Paths.get(table, "_manifests", "CURRENT")

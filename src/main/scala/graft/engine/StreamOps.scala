@@ -84,7 +84,8 @@ object StreamOps {
     * manifest. */
   def streamedTileIngest(spark: SparkSession, parquetPath: String, table: String,
                          keyCol: String, bits: Int, prefixBits: Int,
-                         maxFilesPerTrigger: Int = 0): DataFrame =
+                         maxFilesPerTrigger: Int = 0,
+                         autoCompactEvery: Int = 0): DataFrame =
     streamedIngest(spark, parquetPath, table, keyCol, maxFilesPerTrigger,
       tile = pos => SpatialOps.withTile(pos, "lon", "lat", bits)
         .withColumn("tile_p", graft.sql.functions.gh_parent(col("tile"), bits, prefixBits)),
@@ -92,7 +93,8 @@ object StreamOps {
         graft.data.IcebergLite.PropPrefixBits -> prefixBits.toString,
         graft.data.IcebergLite.PropLonCol -> "lon",
         graft.data.IcebergLite.PropLatCol -> "lat",
-        graft.data.IcebergLite.PropIndexType -> "gh"))
+        graft.data.IcebergLite.PropIndexType -> "gh"),
+      autoCompactEvery = autoCompactEvery)
 
   /** [[streamedTileIngest]] on the Uber-H3-compatible index: tiles are
     * h3u_cell at tileRes, partitions their ancestor at prefixRes; the first
@@ -100,7 +102,8 @@ object StreamOps {
     * rewrites bare box/PIP filters over the STREAMED table too. */
   def streamedTileIngestH3(spark: SparkSession, parquetPath: String, table: String,
                            keyCol: String, tileRes: Int, prefixRes: Int,
-                           maxFilesPerTrigger: Int = 0): DataFrame =
+                           maxFilesPerTrigger: Int = 0,
+                           autoCompactEvery: Int = 0): DataFrame =
     streamedIngest(spark, parquetPath, table, keyCol, maxFilesPerTrigger,
       tile = pos => pos
         .withColumn("tile", graft.sql.functions.h3u_cell(col("lon"), col("lat"), tileRes))
@@ -109,7 +112,8 @@ object StreamOps {
         graft.data.IcebergLite.PropPrefixBits -> prefixRes.toString,
         graft.data.IcebergLite.PropLonCol -> "lon",
         graft.data.IcebergLite.PropLatCol -> "lat",
-        graft.data.IcebergLite.PropIndexType -> "h3u"))
+        graft.data.IcebergLite.PropIndexType -> "h3u"),
+      autoCompactEvery = autoCompactEvery)
 
   /** Shared micro-batch ingest loop: stream → derive position → tile →
     * first batch CREATES the table (with the tiling properties — streamed
@@ -118,20 +122,36 @@ object StreamOps {
   private def streamedIngest(spark: SparkSession, parquetPath: String, table: String,
                              keyCol: String, maxFilesPerTrigger: Int,
                              tile: DataFrame => DataFrame,
-                             properties: Map[String, String]): DataFrame = {
+                             properties: Map[String, String],
+                             autoCompactEvery: Int = 0): DataFrame = {
     import graft.data.IcebergLite
     val schema = spark.read.parquet(parquetPath).schema
     val f = new java.io.File(parquetPath)
     val (dir, glob) = if (f.isDirectory) (parquetPath, "*") else (f.getParent, f.getName)
     var reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
     if (maxFilesPerTrigger > 0) reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val props =
+      if (autoCompactEvery > 0)
+        properties + (IcebergLite.PropAutoCompact -> autoCompactEvery.toString)
+      else properties
     val stream = reader.parquet(dir).select(col("event_id"), col(keyCol))
     val q = stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
         val tiled = tile(SpatialOps.withDerivedPosition(batch, keyCol))
-        if (IcebergLite.readManifest(table).isEmpty)
-          IcebergLite.write(tiled, table, "tile_p", properties = properties)
-        else IcebergLite.extend(tiled, table, "tile_p")
+        val m =
+          if (IcebergLite.readManifest(table).isEmpty)
+            IcebergLite.write(tiled, table, "tile_p", properties = props)
+          else IcebergLite.extend(tiled, table, "tile_p")
+        // snapshots-per-compact hygiene: a long-lived stream must not grow
+        // one snapshot dir per micro-batch forever — when the manifest
+        // references >= N distinct snapshots, fold them into one and drop
+        // the superseded dirs (readers of the PRIOR manifest are unaffected:
+        // compact writes a NEW snapshot, expire only removes unreferenced)
+        if (autoCompactEvery > 0 &&
+            m.entries.iterator.map(_.snapshotId).toSet.size >= autoCompactEvery) {
+          IcebergLite.compact(spark, table)
+          IcebergLite.expireSnapshots(table)
+        }
       }
       ()
     }.outputMode("append").start()

@@ -207,6 +207,47 @@ class EngineOpsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batchCounts).isEmpty && batchCounts.exceptAll(streamed).isEmpty)
   }
 
+  test("streamed ingest auto-compaction: snapshots stay bounded, content identical, prune fires") {
+    import graft.data.IcebergLite
+    val dir = java.nio.file.Files.createTempDirectory("stream_compact").toString
+    val events = spark.read.parquet(s"$sf/events.parquet").select($"event_id", $"user_id")
+    val n = events.count()
+    // 12 input files -> 12 micro-batches at maxFilesPerTrigger = 1
+    (0 until 12).foreach { i =>
+      events.where($"event_id" % 12 === i).coalesce(1)
+        .write.mode("append").parquet(s"$dir/in")
+    }
+    val streamed = StreamOps.streamedTileIngest(spark, s"$dir/in", s"$dir/t",
+      "user_id", 20, 6, maxFilesPerTrigger = 1, autoCompactEvery = 4)
+
+    val m = IcebergLite.readManifest(s"$dir/t").get
+    // the manifest must never reference more than the threshold's worth of
+    // snapshots (compact folds them whenever the count reaches 4)
+    val live = m.entries.map(_.snapshotId).distinct
+    assert(live.size <= 4, s"manifest references ${live.size} snapshots: $live")
+    assert(m.properties.get(IcebergLite.PropAutoCompact).contains("4"))
+    // expire really dropped the superseded snapshot dirs on disk
+    val dataDirs = scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/t", "data"))) { s =>
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.map(_.getFileName.toString).filter(_.startsWith("snapid=")).toSeq
+    }
+    assert(dataDirs.size <= 4, s"data dir still holds ${dataDirs.size} snapshots")
+    // content identical to the one-shot batch write
+    val tiled = SpatialOps.withTile(
+        SpatialOps.withDerivedPosition(events, "user_id"), "lon", "lat", 20)
+      .withColumn("tile_p", graft.sql.functions.gh_parent($"tile", 20, 6))
+    val batchCounts = tiled.groupBy("tile").agg(count(lit(1)).as("n")).select("tile", "n")
+    assert(streamed.exceptAll(batchCounts).isEmpty && batchCounts.exceptAll(streamed).isEmpty)
+    assert(IcebergLite.read(spark, s"$dir/t").count() == n)
+    // covering prune still fires on the compacted table
+    val q = IcebergLite.read(spark, s"$dir/t")
+      .where($"lon" >= -1.0 && $"lon" <= 1.0 && $"lat" >= 50.0 && $"lat" <= 53.0)
+    val pf = q.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("tile_p#"), s"compacted streamed table not prune-aware: $pf")
+  }
+
   test("toGrid: dense grid covers the box, counts match brute force, empties are 0") {
     val box = BBox(-10.0, 40.0, 10.0, 55.0)
     val grid = SpatialOps.toGrid(customers, "lon", "lat", box, 14).collect()
