@@ -970,6 +970,15 @@ object H3U {
     val (face, x, y) = projected
     val c = new IJK(0, 0, 0)
     hex2dToCoordIJK(x, y, c)
+    encodeFromIjk(face, c, res)
+  }
+
+  /** Lattice-only encode: (face, ijk at res) → id via the aperture-7
+    * up-walk + calibrated res-0 lookup — the projection-free tail of
+    * [[encodeFrom]]. MUTATES `c` (callers pass a scratch copy). Used by
+    * [[neighbors]] to canonicalize a lattice step without the
+    * geo round-trip (no transcendentals). */
+  private def encodeFromIjk(face: Int, c: IJK, res: Int): Long = {
     if (res == 0) {
       val idx = ((face * 3 + c.i) * 3 + c.j) * 3 + c.k
       val cell = if (c.i <= 2 && c.j <= 2 && c.k <= 2) lookupCell(idx) else -1
@@ -1060,8 +1069,15 @@ object H3U {
       if (isClassIII(r2)) { downAp7r(f.coord); r2 += 1 }
       while (adjustOverage(f, r2, pentLeading4 = false) != NoOverage) {}
       if (r2 != res) upAp7r(f.coord)
-      val g = faceIjkToGeo(f, res)
-      val n = latLngToCell(math.toDegrees(g(0)), math.toDegrees(g(1)), res)
+      // lattice-only re-encode (no trig); the geo round-trip is the
+      // fallback for the rare up-walk landing outside the calibrated table
+      val n =
+        try encodeFromIjk(f.face, f.coord.copyIJK, res)
+        catch {
+          case _: IllegalStateException =>
+            val g = faceIjkToGeo(f, res)
+            latLngToCell(math.toDegrees(g(0)), math.toDegrees(g(1)), res)
+        }
       if (n != id && !out.contains(n)) out += n
       d += 1
     }
@@ -1131,8 +1147,12 @@ object H3U {
     if (isClassIII(r2)) { downAp7r(f.coord); r2 += 1 }
     while (adjustOverage(f, r2, pentLeading4 = false) != NoOverage) {}
     if (r2 != res) upAp7r(f.coord)
-    val g = faceIjkToGeo(f, res)
-    latLngToCell(math.toDegrees(g(0)), math.toDegrees(g(1)), res)
+    try encodeFromIjk(f.face, f.coord.copyIJK, res)
+    catch {
+      case _: IllegalStateException =>
+        val g = faceIjkToGeo(f, res)
+        latLngToCell(math.toDegrees(g(0)), math.toDegrees(g(1)), res)
+    }
   }
 
   /** h3NeighborRotations equivalent: step from `origin` in direction
