@@ -306,6 +306,36 @@ object SparkEntry {
         .where(gf.st_contains_wkt(lit(franceWkt), col("lon"), col("lat")))
         .select("c_custkey", "lon", "lat")
     },
+    "q60_s2u_box" -> gq { (s, dir) =>
+      // box query on the PUBLISHED-LAYOUT S2 index (graft.core.S2U):
+      // conservative coverBox prefilter via broadcast equi-join on
+      // s2u_cell, exact range refine — q03/q56 semantics on the S2
+      // physical path, so the plain SQL box oracle checks it
+      import s.implicits._
+      val cells = graft.core.S2U.coverBox(
+        londonBox.minLon, londonBox.minLat, londonBox.maxLon, londonBox.maxLat, 10)
+        .toSeq.toDF("__s2")
+      val pts = SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey")
+      pts.withColumn("__s2", gf.s2u_cell(col("lon"), col("lat"), 10))
+        .join(broadcast(cells), "__s2").drop("__s2")
+        .where(col("lon") >= londonBox.minLon && col("lon") <= londonBox.maxLon &&
+               col("lat") >= londonBox.minLat && col("lat") <= londonBox.maxLat)
+        .select("c_custkey", "lon", "lat")
+    },
+    "q61_s2u_cells" -> gq { (s, dir) =>
+      // published-layout S2 ids per row (no SQL oracle: DuckDB has no S2).
+      // rt_ok: center re-encodes EXACTLY at both the listing level and
+      // leaf level — the q55 dual-path pattern on the S2 index
+      val pos = SpatialOps.withDerivedPosition(
+        ld(s, dir, "customer").select("c_custkey"), "c_custkey")
+      pos.withColumn("s2", gf.s2u_cell(col("lon"), col("lat"), 12))
+        .withColumn("s2_parent", gf.s2u_parent(col("s2"), 6))
+        .withColumn("token", gf.s2u_token(col("s2")))
+        .withColumn("lvl", gf.s2u_level(col("s2")))
+        .withColumn("c", gf.s2u_center(col("s2")))
+        .withColumn("rt_ok", gf.s2u_cell(col("c.lon"), col("c.lat"), 12) === col("s2"))
+        .select("c_custkey", "s2", "s2_parent", "token", "lvl", "rt_ok")
+    },
     "q59_h3u_poly_pip" -> gq { (s, dir) =>
       // TRUE polygonToCells prefilter (H3U.polyfillPoly): an L-shaped
       // polygon's bbox polyfill covers ~2x the cells of the polygon
@@ -598,6 +628,10 @@ object SparkEntry {
       "q59_h3u_poly_pip" -> // polygonToCells prefilter + exact refine == pure PIP
         s"""$custIdx SELECT c_custkey, _lon AS lon, _lat AS lat FROM _idx
            | WHERE ${pipSql("_lon", "_lat", lShapeQuad)}""".stripMargin.replace("\n", " "),
+      "q60_s2u_box" -> // S2 coverBox prefilter + exact refine == plain box
+        s"""$custIdx SELECT c_custkey, _lon AS lon, _lat AS lat FROM _idx
+           | WHERE _lon >= ${londonBox.minLon} AND _lon <= ${londonBox.maxLon}
+           |   AND _lat >= ${londonBox.minLat} AND _lat <= ${londonBox.maxLat}""".stripMargin.replace("\n", " "),
       "q56_h3u_box" ->
         s"""$custIdx SELECT c_custkey, _lon AS lon, _lat AS lat FROM _idx
            | WHERE _lon >= ${londonBox.minLon} AND _lon <= ${londonBox.maxLon}

@@ -884,3 +884,70 @@ case class H3UResolution(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, i => s"graft.core.H3U.resolution($i)")
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** s2u_cell(lon, lat, level) → LONG — S2 cell id in the published layout
+  * ([[graft.core.S2U]]: face ++ Hilbert position ++ sentinel). */
+case class S2UCell(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String = "s2u_cell"
+  override def nullSafeEval(lon: Any, lat: Any, level: Any): Any = {
+    val lo = lon.asInstanceOf[Double]; val la = lat.asInstanceOf[Double]
+    if (lo.isNaN || la.isNaN) null
+    else graft.core.S2U.lonLatToCellAt(lo, la, level.asInstanceOf[Int])
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lon, lat, level) => s"""
+      if (${ghExpr.nanGuard2.format(lon, lat)}) { ${ev.isNull} = true; }
+      else { ${ev.value} = graft.core.S2U.lonLatToCellAt($lon, $lat, $level); }""")
+  override protected def withNewChildrenInternal(f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+/** s2u_token(id) → STRING — hex token, trailing zeros stripped. */
+case class S2UToken(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "s2u_token"
+  override def nullSafeEval(id: Any): Any =
+    UTF8String.fromString(graft.core.S2U.token(id.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, i =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.core.S2U.token($i))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** s2u_parent(id, level) → LONG — ancestor via truncate-and-set-sentinel. */
+case class S2UParent(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "s2u_parent"
+  override def nullSafeEval(id: Any, level: Any): Any =
+    graft.core.S2U.parent(id.asInstanceOf[Long], level.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (i, l) => s"graft.core.S2U.parent($i, $l)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** s2u_level(id) → INT. */
+case class S2ULevel(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "s2u_level"
+  override def nullSafeEval(id: Any): Any = graft.core.S2U.level(id.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, i => s"graft.core.S2U.level($i)")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** s2u_center(id) → STRUCT<lon, lat> — cell center (GetCenterSiTi form). */
+case class S2UCenter(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType =
+    StructType(Seq(StructField("lon", DoubleType, false), StructField("lat", DoubleType, false)))
+  override def prettyName: String = "s2u_center"
+  override def nullSafeEval(id: Any): Any = {
+    val (lon, lat) = graft.core.S2U.centerLonLat(id.asInstanceOf[Long])
+    InternalRow(lon, lat)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

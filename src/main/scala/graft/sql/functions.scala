@@ -113,6 +113,16 @@ object GraftFunctions {
       (e: Seq[Expression]) => { require(e.length == 1, "h3u_center(id)"); H3UCenter(cL(e(0))) }),
     ("h3u_parent", "h3u_parent(id, parent_res) - bit-compatible cellToParent",
       (e: Seq[Expression]) => { require(e.length == 2, "h3u_parent(id, parent_res)"); H3UParent(cL(e(0)), cI(e(1))) }),
+    ("s2u_cell", "s2u_cell(lon, lat, level) - S2 cell id (published layout)",
+      (e: Seq[Expression]) => { require(e.length == 3, "s2u_cell(lon, lat, level)"); S2UCell(cD(e(0)), cD(e(1)), cI(e(2))) }),
+    ("s2u_token", "s2u_token(id) - S2 hex token, trailing zeros stripped",
+      (e: Seq[Expression]) => { require(e.length == 1, "s2u_token(id)"); S2UToken(cL(e(0))) }),
+    ("s2u_parent", "s2u_parent(id, level) - ancestor cell at level",
+      (e: Seq[Expression]) => { require(e.length == 2, "s2u_parent(id, level)"); S2UParent(cL(e(0)), cI(e(1))) }),
+    ("s2u_level", "s2u_level(id) - cell level from the sentinel bit",
+      (e: Seq[Expression]) => { require(e.length == 1, "s2u_level(id)"); S2ULevel(cL(e(0))) }),
+    ("s2u_center", "s2u_center(id) - cell center STRUCT<lon, lat>",
+      (e: Seq[Expression]) => { require(e.length == 1, "s2u_center(id)"); S2UCenter(cL(e(0))) }),
     ("h3u_token", "h3u_token(id) - canonical lowercase-hex H3 index string",
       (e: Seq[Expression]) => { require(e.length == 1, "h3u_token(id)"); H3UToken(cL(e(0))) }),
     ("h3u_is_pentagon", "h3u_is_pentagon(id) - true for the 12 pentagon lineages",
@@ -212,6 +222,12 @@ object functions {
     call_function("collect_capped", v, lit(cap))
   def h3u_cell(lon: Column, lat: Column, res: Int): Column =
     call_function("h3u_cell", lon, lat, lit(res))
+  def s2u_cell(lon: Column, lat: Column, level: Int): Column =
+    call_function("s2u_cell", lon, lat, lit(level))
+  def s2u_token(id: Column): Column = call_function("s2u_token", id)
+  def s2u_parent(id: Column, level: Int): Column = call_function("s2u_parent", id, lit(level))
+  def s2u_level(id: Column): Column = call_function("s2u_level", id)
+  def s2u_center(id: Column): Column = call_function("s2u_center", id)
   def h3u_center(id: Column): Column = call_function("h3u_center", id)
   def h3u_parent(id: Column, parentRes: Int): Column =
     call_function("h3u_parent", id, lit(parentRes))
