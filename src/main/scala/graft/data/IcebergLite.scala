@@ -206,6 +206,21 @@ object IcebergLite {
       PropIndexType -> "h3u"))
   }
 
+  /** [[writeTiled]] on the published-layout S2 index: `tile` =
+    * s2u_cell(lon, lat, tileLevel), partition prefix = its ancestor at
+    * prefixLevel. DeriveCoveringPrune's "s2u" arm derives a coverBox
+    * IN-list for bare box filters over the table. */
+  def writeTiledS2(df: DataFrame, table: String, lonCol: String, latCol: String,
+                   tileLevel: Int, prefixLevel: Int,
+                   prefixCol: String = "tile_p"): Manifest = {
+    val tiled = df
+      .withColumn("tile", graft.sql.functions.s2u_cell(col(lonCol), col(latCol), tileLevel))
+      .withColumn(prefixCol, graft.sql.functions.s2u_parent(col("tile"), prefixLevel))
+    write(tiled, table, prefixCol, properties = Map(
+      PropPrefixBits -> prefixLevel.toString, PropLonCol -> lonCol, PropLatCol -> latCol,
+      PropIndexType -> "s2u"))
+  }
+
   /** Reference `GeoHash.update` (SURVEY.md §3.2 #16): REPLACE the contents
     * of every partition present in `df` (other partitions untouched), as a
     * new snapshot. Old files are not deleted — they stay reachable through

@@ -105,12 +105,34 @@ object DeriveCoveringPrune extends Rule[LogicalPlan] {
     * exceed [[MaxInCells]] (a huge IN-list is plan bloat, not a prune) —
     * geohash pre-checks via gridProperties (+1 column for covering()'s
     * west-column union at maxLon ≥ 180), H3 bounds the polyfill BFS. */
+  // covering memo: the optimizer re-plans the same Filter shape repeatedly
+  // (fixed-point batches × repeated queries in a session), and an h3u
+  // polygon polyfill costs tens of ms of lattice BFS — cache by the
+  // geometry+index key, bounded (coverings are ≤ MaxInCells longs each)
+  private val coveringCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, (Double, Double, Double, Double),
+      Int, Seq[Seq[Double]]), Option[Array[Long]]]()
+
   private def coveringCells(m: graft.data.IcebergLite.Manifest,
                             box: (Double, Double, Double, Double),
                             bits: Int,
                             pipRings: Option[Array[Array[Double]]]): Option[Array[Long]] = {
+    val indexType = m.properties.getOrElse(graft.data.IcebergLite.PropIndexType, "gh")
+    val key = (indexType, box, bits,
+      pipRings.map(_.toSeq.map(_.toSeq)).getOrElse(Seq.empty))
+    val hit = coveringCache.get(key)
+    if (hit != null) return hit
+    val computed = coveringCellsUncached(indexType, box, bits, pipRings)
+    if (coveringCache.size < 256) coveringCache.put(key, computed)
+    computed
+  }
+
+  private def coveringCellsUncached(indexType: String,
+                            box: (Double, Double, Double, Double),
+                            bits: Int,
+                            pipRings: Option[Array[Array[Double]]]): Option[Array[Long]] = {
     val (minLon, minLat, maxLon, maxLat) = box
-    m.properties.getOrElse(graft.data.IcebergLite.PropIndexType, "gh") match {
+    indexType match {
       case "h3u" =>
         try Some {
           pipRings match {
@@ -126,6 +148,17 @@ object DeriveCoveringPrune extends Rule[LogicalPlan] {
                graft.core.H3U.polyfillBox(-180.0, minLat, maxLon, maxLat, bits, MaxInCells)).distinct
           }
         } catch { case _: IllegalArgumentException => None } // covering too large
+      case "s2u" =>
+        // S2 hierarchy is exact (quadtree in (i,j)), so the prefix of any
+        // in-box row's tile is its cell at the prefix level — covered by
+        // coverBox at that level
+        try Some {
+          if (minLon <= maxLon)
+            graft.core.S2U.coverBox(minLon, minLat, maxLon, maxLat, bits, MaxInCells)
+          else
+            (graft.core.S2U.coverBox(minLon, minLat, 180.0, maxLat, bits, MaxInCells) ++
+             graft.core.S2U.coverBox(-180.0, minLat, maxLon, maxLat, bits, MaxInCells)).distinct
+        } catch { case _: IllegalArgumentException => None }
       case _ =>
         val (_, cx, cy) = Geohash.gridProperties(minLon, minLat, maxLon, maxLat, bits)
         if ((cx + 1) * cy <= MaxInCells)

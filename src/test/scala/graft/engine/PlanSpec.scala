@@ -318,6 +318,27 @@ class PlanSpec extends AnyFunSuite {
            viaJoin.exceptAll(q.select("c_custkey")).isEmpty)
   }
 
+  test("DeriveCoveringPrune: S2-tiled table derives a coverBox IN-list prune") {
+    val dir = java.nio.file.Files.createTempDirectory("s2_prune").toString
+    val pts = SpatialOps.withDerivedPosition(
+      spark.read.parquet("/root/testdata/sf0.01/customer.parquet").select("c_custkey"), "c_custkey")
+    graft.data.IcebergLite.writeTiledS2(pts, s"$dir/t", "lon", "lat", 12, 7)
+    val tbl = graft.data.IcebergLite.read(spark, s"$dir/t")
+    val box = BBox(-0.75, 51.0, 0.25, 52.0)
+    val q = tbl.where($"lon" >= box.minLon && $"lon" <= box.maxLon &&
+                      $"lat" >= box.minLat && $"lat" <= box.maxLat)
+    val pf = q.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("tile_p#"), s"no S2 coverBox prune derived: $pf")
+    val expect = pts.where($"lon" >= box.minLon && $"lon" <= box.maxLon &&
+                           $"lat" >= box.minLat && $"lat" <= box.maxLat)
+      .select("c_custkey")
+    assert(q.select("c_custkey").exceptAll(expect).isEmpty &&
+           expect.exceptAll(q.select("c_custkey")).isEmpty,
+      "S2 coverBox prune changed results")
+    assert(q.count() > 0)
+  }
+
   test("DeriveCoveringPrune: L-shaped PIP derives the polygon polyfill, tighter than bbox") {
     val dir = java.nio.file.Files.createTempDirectory("h3_poly_prune").toString
     val pts = SpatialOps.withDerivedPosition(
