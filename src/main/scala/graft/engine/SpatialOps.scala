@@ -106,6 +106,30 @@ object SpatialOps {
     }
   }
 
+  /** [[boxQueryH3]] on the published-layout S2 index ([[graft.core.S2U]]):
+    * coverBox cells broadcast against s2u_cell keys, exact refine. */
+  def boxQueryS2(points: DataFrame, lonCol: String, latCol: String,
+                 box: BBox, level: Int, refine: Boolean = true): DataFrame = {
+    val spark = points.sparkSession
+    import spark.implicits._
+    val cells =
+      if (box.minLon <= box.maxLon)
+        graft.core.S2U.coverBox(box.minLon, box.minLat, box.maxLon, box.maxLat, level)
+      else
+        (graft.core.S2U.coverBox(box.minLon, box.minLat, 180.0, box.maxLat, level) ++
+         graft.core.S2U.coverBox(-180.0, box.minLat, box.maxLon, box.maxLat, level)).distinct
+    val cellsDf = cells.toSeq.toDF("__s2")
+    val keyed = points.withColumn("__s2", gf.s2u_cell(col(lonCol), col(latCol), level))
+    val joined = keyed.join(broadcast(cellsDf), "__s2").drop("__s2")
+    if (!refine) joined
+    else {
+      val lonPred =
+        if (box.minLon <= box.maxLon) col(lonCol) >= box.minLon && col(lonCol) <= box.maxLon
+        else col(lonCol) >= box.minLon || col(lonCol) <= box.maxLon
+      joined.where(lonPred && col(latCol) >= box.minLat && col(latCol) <= box.maxLat)
+    }
+  }
+
   /** Mixed-precision cell join (SURVEY.md §10.4 range join): every FINE-cell
     * row joins the COARSE-cell row whose prefix contains it. The
     * child-to-ancestor range predicate (coarse ≤ fine < coarse+1 in key

@@ -115,6 +115,25 @@ object StreamOps {
         graft.data.IcebergLite.PropIndexType -> "h3u"),
       autoCompactEvery = autoCompactEvery)
 
+  /** [[streamedTileIngest]] on the published-layout S2 index: tiles are
+    * s2u_cell at tileLevel, partitions their ancestor at prefixLevel; the
+    * recorded `tile.index=s2u` makes the streamed table prune-aware via
+    * DeriveCoveringPrune's coverBox arm. */
+  def streamedTileIngestS2(spark: SparkSession, parquetPath: String, table: String,
+                           keyCol: String, tileLevel: Int, prefixLevel: Int,
+                           maxFilesPerTrigger: Int = 0,
+                           autoCompactEvery: Int = 0): DataFrame =
+    streamedIngest(spark, parquetPath, table, keyCol, maxFilesPerTrigger,
+      tile = pos => pos
+        .withColumn("tile", graft.sql.functions.s2u_cell(col("lon"), col("lat"), tileLevel))
+        .withColumn("tile_p", graft.sql.functions.s2u_parent(col("tile"), prefixLevel)),
+      properties = Map(
+        graft.data.IcebergLite.PropPrefixBits -> prefixLevel.toString,
+        graft.data.IcebergLite.PropLonCol -> "lon",
+        graft.data.IcebergLite.PropLatCol -> "lat",
+        graft.data.IcebergLite.PropIndexType -> "s2u"),
+      autoCompactEvery = autoCompactEvery)
+
   /** Shared micro-batch ingest loop: stream → derive position → tile →
     * first batch CREATES the table (with the tiling properties — streamed
     * tables are prune-aware like batch-written ones), later batches are

@@ -144,6 +144,47 @@ class EngineOpsSpec extends AnyFunSuite {
     assert(viaH3.count() > 0, "fixture should have rows near the anti-meridian")
   }
 
+  test("boxQueryS2 == boxQuery, incl. anti-meridian (S2/geohash physical-path parity)") {
+    val pts = customers
+    val box = BBox(-0.75, 51.0, 0.25, 52.0)
+    val viaS2 = SpatialOps.boxQueryS2(pts, "lon", "lat", box, 10).select("c_custkey")
+    val viaGh = SpatialOps.boxQuery(pts, "lon", "lat", box, 20).select("c_custkey")
+    assert(viaS2.exceptAll(viaGh).isEmpty && viaGh.exceptAll(viaS2).isEmpty)
+    assert(viaS2.count() > 0)
+    val am = graft.core.BBox(177.0, -50.0, -177.0, 50.0)
+    val amS2 = SpatialOps.boxQueryS2(pts, "lon", "lat", am, 8).select("c_custkey")
+    val amGh = SpatialOps.boxQuery(pts, "lon", "lat", am, 20).select("c_custkey")
+    assert(amS2.exceptAll(amGh).isEmpty && amGh.exceptAll(amS2).isEmpty)
+    assert(amS2.count() > 0, "fixture should have rows near the anti-meridian")
+  }
+
+  test("streamed S2 tile ingest: manifest parity with one-shot writeTiledS2 + prune props") {
+    import graft.data.IcebergLite
+    val dir = java.nio.file.Files.createTempDirectory("stream_s2").toString
+    val events = spark.read.parquet(s"$sf/events.parquet").select($"event_id", $"user_id")
+    val half = events.count() / 2
+    events.where($"event_id" < half).coalesce(1).write.parquet(s"$dir/in")
+    Thread.sleep(1100)
+    events.where($"event_id" >= half).coalesce(1).write.mode("append").parquet(s"$dir/in")
+
+    StreamOps.streamedTileIngestS2(spark, s"$dir/in", s"$dir/t",
+      "user_id", 12, 7, maxFilesPerTrigger = 1)
+    IcebergLite.writeTiledS2(
+      SpatialOps.withDerivedPosition(events, "user_id"), s"$dir/batch",
+      "lon", "lat", 12, 7)
+
+    val sm = IcebergLite.readManifest(s"$dir/t").get
+    val bm = IcebergLite.readManifest(s"$dir/batch").get
+    assert(sm.snapshotId >= 1, "stream should have committed multiple snapshots")
+    assert(IcebergLite.rowsByPartition(sm) == IcebergLite.rowsByPartition(bm))
+    assert(sm.properties.get(IcebergLite.PropIndexType).contains("s2u"))
+    val tbl = IcebergLite.read(spark, s"$dir/t")
+    val q = tbl.where($"lon" >= -1.0 && $"lon" <= 1.0 && $"lat" >= 50.0 && $"lat" <= 53.0)
+    val pf = q.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("tile_p#"), s"streamed S2 table not prune-aware: $pf")
+  }
+
   test("streamed H3 tile ingest: manifest parity with one-shot writeTiledH3 + prune props") {
     import graft.data.IcebergLite
     val dir = java.nio.file.Files.createTempDirectory("stream_h3").toString
