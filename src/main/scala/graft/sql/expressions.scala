@@ -951,3 +951,20 @@ case class S2UCenter(child: Expression)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** h3u_polyfill_wkt(wkt, res) → ARRAY<LONG> — polygonToCells: the
+  * conservative polygon covering ([[graft.core.H3U.polyfillPoly]];
+  * strictly tighter than the bbox polyfill for L-shaped polygons).
+  * Typically called with a literal polygon (planning-side); per-row use
+  * is legal but each distinct polygon pays a lattice BFS. */
+case class H3UPolyfillWkt(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "h3u_polyfill_wkt"
+  override def nullSafeEval(wkt: Any, res: Any): Any = {
+    val rings = graft.core.GeoMath.parseWktPolygon(wkt.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(graft.core.H3U.polyfillPoly(rings, res.asInstanceOf[Int]))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

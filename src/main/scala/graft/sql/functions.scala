@@ -113,6 +113,8 @@ object GraftFunctions {
       (e: Seq[Expression]) => { require(e.length == 1, "h3u_center(id)"); H3UCenter(cL(e(0))) }),
     ("h3u_parent", "h3u_parent(id, parent_res) - bit-compatible cellToParent",
       (e: Seq[Expression]) => { require(e.length == 2, "h3u_parent(id, parent_res)"); H3UParent(cL(e(0)), cI(e(1))) }),
+    ("h3u_polyfill_wkt", "h3u_polyfill_wkt(wkt, res) - polygonToCells covering",
+      (e: Seq[Expression]) => { require(e.length == 2, "h3u_polyfill_wkt(wkt, res)"); H3UPolyfillWkt(e(0), cI(e(1))) }),
     ("s2u_cell", "s2u_cell(lon, lat, level) - S2 cell id (published layout)",
       (e: Seq[Expression]) => { require(e.length == 3, "s2u_cell(lon, lat, level)"); S2UCell(cD(e(0)), cD(e(1)), cI(e(2))) }),
     ("s2u_token", "s2u_token(id) - S2 hex token, trailing zeros stripped",
@@ -222,6 +224,8 @@ object functions {
     call_function("collect_capped", v, lit(cap))
   def h3u_cell(lon: Column, lat: Column, res: Int): Column =
     call_function("h3u_cell", lon, lat, lit(res))
+  def h3u_polyfill_wkt(wkt: Column, res: Int): Column =
+    call_function("h3u_polyfill_wkt", wkt, lit(res))
   def s2u_cell(lon: Column, lat: Column, level: Int): Column =
     call_function("s2u_cell", lon, lat, lit(level))
   def s2u_token(id: Column): Column = call_function("s2u_token", id)

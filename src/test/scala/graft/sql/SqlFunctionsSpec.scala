@@ -148,6 +148,31 @@ class SqlFunctionsSpec extends AnyFunSuite {
     sql.zip(got).foreach { case (s, g) => assert(s.getLong(1) == g.getLong(3)) }
   }
 
+  test("s2u_* / h3u_polyfill_wkt expressions match the core library") {
+    import graft.core.{S2U, H3U, GeoMath}
+    val got = pts
+      .withColumn("s2", gf.s2u_cell($"lon", $"lat", 12))
+      .withColumn("p6", gf.s2u_parent($"s2", 6))
+      .withColumn("lvl", gf.s2u_level($"s2"))
+      .withColumn("tok", gf.s2u_token($"s2"))
+      .withColumn("c", gf.s2u_center($"s2"))
+      .orderBy("id").collect()
+    got.foreach { r =>
+      val expect = S2U.lonLatToCellAt(r.getDouble(1), r.getDouble(2), 12)
+      assert(r.getLong(3) == expect)
+      assert(r.getLong(4) == S2U.parent(expect, 6))
+      assert(r.getInt(5) == 12)
+      assert(r.getString(6) == S2U.token(expect))
+      val (clon, clat) = S2U.centerLonLat(expect)
+      assert(r.getStruct(7).getDouble(0) == clon && r.getStruct(7).getDouble(1) == clat)
+    }
+    val wkt = "POLYGON ((-2.5 41.0, 3.0 41.5, 2.0 48.0, -4.5 47.5, -2.5 41.0))"
+    val cells = spark.sql(
+      s"SELECT h3u_polyfill_wkt('$wkt', 4) AS c").collect()(0).getSeq[Long](0)
+    assert(cells.toSet == H3U.polyfillPoly(GeoMath.parseWktPolygon(wkt), 4).toSet)
+    assert(cells.nonEmpty)
+  }
+
   test("explain: gh_encode stays inside WholeStageCodegen") {
     val df = spark.range(100).select(
       ($"id" % 360 - 180).cast("double").as("lon"), ($"id" % 170 - 85).cast("double").as("lat"))
