@@ -1380,15 +1380,41 @@ object H3U {
   /** The cell's boundary vertices as (lat°, lng°), ccw — the published
     * substrate-grid construction (center into the aperture-33r[7r] grid,
     * add vertex offsets, overage-adjust each vertex onto its true face,
-    * inverse-project). For Class III hexagons whose boundary crosses an
+    * inverse-project). For Class III cells whose boundary crosses an
     * icosahedron face edge, the extra DISTORTION vertex is inserted where
     * each crossing edge meets the icosa edge (the published behavior —
-    * each face is a different gnomonic projection plane, so the hexagon
-    * edge bends there): 7- or 8-vertex polygons for edge-crossing cells.
-    * Pentagons keep the corner-only approximation (their 5 corners are
-    * exact; the distortion machinery for the 12 pentagons is the published
-    * per-vertex-rotated variant, not replicated here). */
-  def cellToBoundary(id: Long): Array[(Double, Double)] = {
+    * each face is a different gnomonic projection plane, so the cell edge
+    * bends there): 7/8-vertex hexagons, 10-vertex Class III pentagons
+    * (every Class III pentagon edge crosses a face edge). */
+  def cellToBoundary(id: Long): Array[(Double, Double)] =
+    if (isPentagon(id)) pentBoundary(id) else hexBoundary(id)
+
+  /** The face-triangle corner coordinates in substrate hex2d at the Class
+    * II res behind `maxDim`, and the edge for a given inter-face
+    * direction: IJ → (c0, c1), JK → (c1, c2), KI → (c2, c0). */
+  @inline private def faceCorner(maxDim: Double, which: Int): (Double, Double) = which match {
+    case 0 => (3.0 * maxDim, 0.0)
+    case 1 => (-1.5 * maxDim, 3.0 * Sin60 * maxDim)
+    case _ => (-1.5 * maxDim, -3.0 * Sin60 * maxDim)
+  }
+
+  /** Which quadrant direction (DirIJ/DirKI/DirJK) leads from face `a` into
+    * adjacent face `b`. */
+  private def dirOfAdjacentFace(a: Int, b: Int): Int =
+    (0 until 3).find(d => faceNeighbors(a)(d).face == b).getOrElse(
+      throw new IllegalStateException(s"faces $a and $b are not adjacent"))
+
+  private def edgeForDir(maxDim: Double, dir: Int): (Double, Double, Double, Double) = {
+    val (a, b) = dir match {
+      case DirIJ => (0, 1)
+      case DirJK => (1, 2)
+      case _     => (2, 0)
+    }
+    val (ax, ay) = faceCorner(maxDim, a); val (bx, by) = faceCorner(maxDim, b)
+    (ax, ay, bx, by)
+  }
+
+  private def hexBoundary(id: Long): Array[(Double, Double)] = {
     val res = resolution(id)
     val center = h3ToFaceIjk(id)
     val centerFace = center.face
@@ -1398,7 +1424,6 @@ object H3U {
     downAp3r(center.coord)
     if (isClassIII(res)) { downAp7r(center.coord); adjRes += 1 }
     val offs = if (isClassIII(res)) vertsCIII else vertsCII
-    val pentagon = isPentagon(id)
     // raw substrate vertex coords on the CENTER face (pre-overage) — the
     // frame the icosa-edge intersection is computed in
     val raw = Array.tabulate(6) { v =>
@@ -1411,9 +1436,6 @@ object H3U {
     // 2·7^(adjRes/2); substrate triples it, so corners sit at radius
     // 3·maxDim along the i axis and its images
     val maxDim = (2 * pow7(adjRes / 2)).toDouble
-    val ex0 = 3.0 * maxDim; val ey0 = 0.0
-    val ex1 = -1.5 * maxDim; val ey1 = 3.0 * Sin60 * maxDim
-    val ex2 = -1.5 * maxDim; val ey2 = -3.0 * Sin60 * maxDim
     val out = new scala.collection.mutable.ArrayBuffer[(Double, Double)](8)
     var lastFace = centerFace
     var lastOverage = NoOverage
@@ -1423,15 +1445,9 @@ object H3U {
       val v = vert % 6
       val fv = new FaceIJK(centerFace, raw(v).copyIJK)
       // hexagon substrate vertices need at most ONE adjustment (published
-      // single-call form); pentagon vertices can hop across several faces
+      // single-call form)
       val overage = adjustOverage(fv, adjRes, pentLeading4 = false, substrate = true)
-      if (pentagon) {
-        var guard = 0
-        while (guard < 4 &&
-               adjustOverage(fv, adjRes, pentLeading4 = false, substrate = true) == NewFace)
-          guard += 1
-      }
-      if (!pentagon && isClassIII(res) && vert > 0 && fv.face != lastFace &&
+      if (isClassIII(res) && vert > 0 && fv.face != lastFace &&
           lastOverage != FaceEdge) {
         // hexagon edge (prev -> cur) spans two projection planes: insert
         // the intersection with the icosahedron edge, in the center face's
@@ -1440,9 +1456,7 @@ object H3U {
         val p1 = ijkToHex2d(raw(v))
         val face2 = if (lastFace == centerFace) fv.face else lastFace
         val (ax, ay, bx, by) =
-          if (faceNeighbors(centerFace)(DirIJ).face == face2) (ex0, ey0, ex1, ey1)
-          else if (faceNeighbors(centerFace)(DirJK).face == face2) (ex1, ey1, ex2, ey2)
-          else (ex2, ey2, ex0, ey0)
+          edgeForDir(maxDim, dirOfAdjacentFace(centerFace, face2))
         // line-line intersection (published _v2dIntersect)
         val s1x = p1(0) - p0(0); val s1y = p1(1) - p0(1)
         val s2x = bx - ax; val s2y = by - ay
@@ -1460,13 +1474,82 @@ object H3U {
       if (vert < 6) {
         val h2 = ijkToHex2d(fv.coord)
         val g = hex2dToGeo(fv.face, h2(0), h2(1), adjRes, substrate = true)
-        val pt = (math.toDegrees(g(0)), math.toDegrees(constrainLng(g(1))))
-        // pentagons fold two substrate corners onto one point — dedup
-        if (!out.exists(p => math.abs(p._1 - pt._1) < 1e-9 &&
-                             math.abs(p._2 - pt._2) < 1e-9)) out += pt
+        out += ((math.toDegrees(g(0)), math.toDegrees(constrainLng(g(1)))))
       }
       lastFace = fv.face
       lastOverage = overage
+      vert += 1
+    }
+    out.toArray
+  }
+
+  /** Pentagon boundary — the published _faceIjkPentToCellBoundary: 5
+    * substrate vertices (the hexagon offsets minus the deleted direction),
+    * each overage-adjusted in a LOOP (pentagon vertices can hop faces);
+    * for Class III, EVERY edge crosses an icosa edge, and the distortion
+    * vertex is found by translating the current vertex into the PREVIOUS
+    * vertex's face frame (published form) and intersecting there. */
+  private def pentBoundary(id: Long): Array[(Double, Double)] = {
+    val res = resolution(id)
+    val center = h3ToFaceIjk(id)
+    var adjRes = res
+    downAp3(center.coord)
+    downAp3r(center.coord)
+    if (isClassIII(res)) { downAp7r(center.coord); adjRes += 1 }
+    val offs = if (isClassIII(res)) vertsCIII else vertsCII
+    // the 5 pentagon vertices = the hexagon vertex offsets minus the one
+    // facing the deleted subsequence (the published 5-entry tables are the
+    // first five entries of the 6-entry hexagon tables)
+    val verts = Array.tabulate(5) { v =>
+      val fv = new FaceIJK(center.face, new IJK(0, 0, 0))
+      ijkAdd(center.coord, offs(v), fv.coord)
+      ijkNormalize(fv.coord)
+      var guard = 0
+      while (guard < 5 &&
+             adjustOverage(fv, adjRes, pentLeading4 = false, substrate = true) == NewFace)
+        guard += 1
+      fv
+    }
+    val maxDim = (2 * pow7(adjRes / 2)).toDouble
+    val scale = (3 * pow7(adjRes / 2))
+    val out = new scala.collection.mutable.ArrayBuffer[(Double, Double)](10)
+    var lastFijk: FaceIJK = null
+    var vert = 0
+    while (vert < 6) { // 5 vertices + the closing edge's distortion test
+      val v = vert % 5
+      val fv = verts(v)
+      if (isClassIII(res) && vert > 0 && fv.face != lastFijk.face) {
+        // translate the CURRENT vertex into the LAST vertex's face frame
+        // (published form), then intersect prev->cur with the icosa edge
+        // between the two faces, in the last face's substrate hex2d
+        val p0 = ijkToHex2d(lastFijk.coord)
+        val orient = faceNeighbors(fv.face)(dirOfAdjacentFace(fv.face, lastFijk.face))
+        val tmp = fv.coord.copyIJK
+        var i = 0
+        while (i < orient.ccwRot60) { ijkRotate60ccw(tmp); i += 1 }
+        val trans = new IJK(orient.transI, orient.transJ, orient.transK)
+        ijkScale(trans, scale)
+        ijkAdd(tmp, trans, tmp)
+        ijkNormalize(tmp)
+        val p1 = ijkToHex2d(tmp)
+        val (ax, ay, bx, by) =
+          edgeForDir(maxDim, dirOfAdjacentFace(lastFijk.face, fv.face))
+        val s1x = p1(0) - p0(0); val s1y = p1(1) - p0(1)
+        val s2x = bx - ax; val s2y = by - ay
+        val denom = -s2x * s1y + s1x * s2y
+        if (denom != 0.0) {
+          val t = (s2x * (p0(1) - ay) - s2y * (p0(0) - ax)) / denom
+          val ix = p0(0) + t * s1x; val iy = p0(1) + t * s1y
+          val g = hex2dToGeo(lastFijk.face, ix, iy, adjRes, substrate = true)
+          out += ((math.toDegrees(g(0)), math.toDegrees(constrainLng(g(1)))))
+        }
+      }
+      if (vert < 5) {
+        val h2 = ijkToHex2d(fv.coord)
+        val g = hex2dToGeo(fv.face, h2(0), h2(1), adjRes, substrate = true)
+        out += ((math.toDegrees(g(0)), math.toDegrees(constrainLng(g(1)))))
+      }
+      lastFijk = fv
       vert += 1
     }
     out.toArray

@@ -154,7 +154,9 @@ class H3USpec extends AnyFunSuite {
       H3U.cellToChildren(c0, 1).foreach { id =>
         val b = H3U.cellToBoundary(id)
         if (H3U.isPentagon(id))
-          assert(b.length == 5, s"${H3U.token(id)} has ${b.length} corners")
+          // res 1 is Class III: every pentagon edge crosses an icosa edge,
+          // so 5 corners + 5 distortion vertices (published behavior)
+          assert(b.length == 10, s"${H3U.token(id)} has ${b.length} corners")
         else {
           // 6 topological corners + 0..2 icosa-edge distortion vertices
           assert(b.length >= 6 && b.length <= 8,
@@ -178,6 +180,17 @@ class H3USpec extends AnyFunSuite {
     assert(H3U.cellToBoundary(H3U.fromToken("81017ffffffffff")).length == 7)
     // a Class II cell never gains vertices
     assert(H3U.cellToBoundary(H3U.fromToken("8928308280fffff")).length == 6)
+    // pentagons: Class II keep 5 corners; Class III gain one distortion
+    // vertex per edge (published: all five pentagon edges cross faces)
+    val pent0 = H3U.res0Cells.find(H3U.isPentagon).get
+    assert(H3U.cellToBoundary(pent0).length == 5)
+    val pent2 = H3U.cellToChildren(pent0, 2).find(H3U.isPentagon).get
+    assert(H3U.cellToBoundary(pent2).length == 5)
+    (1 to 3 by 2).foreach { res =>
+      val p = H3U.cellToChildren(pent0, res).find(H3U.isPentagon).get
+      assert(H3U.cellToBoundary(p).length == 10,
+        s"Class III pentagon at res $res: ${H3U.cellToBoundary(p).length} verts")
+    }
     // every distortion vertex is SHARED: the adjacent cell crossing the
     // same icosa edge inserts the same point (the two projection planes
     // agree on the edge), so boundaries still tile without slivers
