@@ -194,6 +194,15 @@ object S2U {
     S2Quad.lonLatFromXyz(x, y, z)
   }
 
+  /** A LOWER bound (degrees) on the angular width of any level-`level`
+    * cell: the quadratic transform's minimum du/ds is 4/3 (at the face
+    * center) and dθ/du = 1/(1+u²) ≥ 1/2 on the face, so every cell is at
+    * least (2/3)/2^level rad wide; (1/3)/2^level keeps an extra 2×
+    * margin. Used as the per-ring coverage step of the kNN expansion —
+    * under-estimating the width only ever OVER-expands. */
+  def minCellWidthDeg(level: Int): Double =
+    math.toDegrees((1.0 / 3.0) / (1L << level).toDouble)
+
   /** Conservative covering of a lon/lat box at `level` (same contract as
     * Geohash.covering / H3U.polyfillBox: a superset; callers refine
     * exactly). The box boundary is sampled densely; each touched face

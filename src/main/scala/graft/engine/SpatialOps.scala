@@ -376,6 +376,54 @@ object SpatialOps {
       rowsByPartition.values.sum)
   }
 
+  /** [[knnIndexedH3]] on an S2-TILED table ([[graft.data.IcebergLite
+    * .writeTiledS2]]): square (i, j) rings around the query cell, crossing
+    * face edges through the uv extension ([[graft.core.S2U
+    * .cellAtWrapped]]), counts from the manifest — zero Spark jobs until
+    * the final pruned scan. Exact: [[graft.core.S2U.minCellWidthDeg]]
+    * under-estimates every cell step, so the disc-coverage extension only
+    * ever over-expands. */
+  def knnIndexedS2(spark: org.apache.spark.sql.SparkSession, table: String,
+                   prefixCol: String, prefixLevel: Int,
+                   lonCol: String, latCol: String,
+                   qLon: Double, qLat: Double, k: Int, tieCol: String): DataFrame = {
+    val manifest = graft.data.IcebergLite.readManifest(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $table"))
+    val rowsByPartition: Map[String, Long] = graft.data.IcebergLite.rowsByPartition(manifest)
+    val cellMinDeg = graft.core.S2U.minCellWidthDeg(prefixLevel)
+    // "ring" r = the SOUND covering of the degree-metric box of half-width
+    // r·cellMin around the query (coverBox is property-tested to contain
+    // every in-box point's cell, face edges included) — so rings 0..R cover
+    // the degree-metric disc of radius R·cellMin, which is exactly the
+    // contract knnExpandCore's disc-coverage extension needs. Accumulation
+    // dedups, so returning the whole covering per ring is fine.
+    def s2Ring(r: Long): Seq[Long] = {
+      val h = math.max(cellMinDeg * r, cellMinDeg * 0.25)
+      val latLo = math.max(-90.0, qLat - h); val latHi = math.min(90.0, qLat + h)
+      val lo = qLon - h; val hi = qLon + h
+      val cells =
+        if (lo >= -180.0 && hi <= 180.0)
+          graft.core.S2U.coverBox(lo, latLo, hi, latHi, prefixLevel)
+        else if (hi - lo >= 360.0)
+          graft.core.S2U.coverBox(-180.0, latLo, 180.0, latHi, prefixLevel)
+        else if (lo < -180.0)
+          (graft.core.S2U.coverBox(-180.0, latLo, hi, latHi, prefixLevel) ++
+           graft.core.S2U.coverBox(lo + 360.0, latLo, 180.0, latHi, prefixLevel)).distinct
+        else
+          (graft.core.S2U.coverBox(lo, latLo, 180.0, latHi, prefixLevel) ++
+           graft.core.S2U.coverBox(-180.0, latLo, hi - 360.0, latHi, prefixLevel)).distinct
+      cells.toSeq
+    }
+    val maxRings = (360.0 / cellMinDeg).toLong + 2
+    def scan(cells: Seq[Long]): DataFrame =
+      graft.data.IcebergLite.read(spark, table)
+        .where(col(prefixCol).isin(cells: _*))
+    knnExpandCore(spark, lonCol, latCol, qLon, qLat, k, tieCol,
+      s2Ring, cellMinDeg, maxRings,
+      scan, cells => cells.map(c => rowsByPartition.getOrElse(c.toString, 0L)).sum,
+      rowsByPartition.values.sum)
+  }
+
   /** Dense raster of per-cell counts over a box — the engine equivalent of
     * the reference's `converter.to_xarray` (SURVEY.md §3.2 #22: cell grid →
     * dense row/col array). The aggregation is distributed (broadcast

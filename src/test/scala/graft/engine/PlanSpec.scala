@@ -288,6 +288,25 @@ class PlanSpec extends AnyFunSuite {
     assert(pf.contains("tile_p#"), pf)
   }
 
+  test("knnIndexedS2: manifest-count expansion on an S2-tiled table matches brute force") {
+    val dir = java.nio.file.Files.createTempDirectory("knn_s2").toString
+    val pts = SpatialOps.withDerivedPosition(
+      spark.read.parquet("/root/testdata/sf0.01/customer.parquet").select("c_custkey"), "c_custkey")
+    graft.data.IcebergLite.writeTiledS2(pts, s"$dir/t", "lon", "lat", 12, 7)
+    // three query points incl. one near the +x/+y face edge (lon 45)
+    Seq((-0.75, 51.25), (139.75, 35.5), (44.9, 10.0)).foreach { case (qx, qy) =>
+      val got = SpatialOps.knnIndexedS2(spark, s"$dir/t", "tile_p", 7, "lon", "lat", qx, qy, 10, "c_custkey")
+      val brute = SpatialOps.knnBrute(pts, "lon", "lat", Seq((0, qx, qy)), 10, "c_custkey")
+        .select("rank", "c_custkey").collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+      val ring = got.select("rank", "c_custkey").collect().map(r => (r.getInt(0), r.getLong(1))).sorted
+      assert(ring.toSeq == brute.toSeq, s"mismatch at ($qx, $qy)")
+    }
+    val got = SpatialOps.knnIndexedS2(spark, s"$dir/t", "tile_p", 7, "lon", "lat", -0.75, 51.25, 10, "c_custkey")
+    val pf = got.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("tile_p#"), pf)
+  }
+
   test("DeriveCoveringPrune: H3-tiled table derives a polyfill IN-list prune") {
     val dir = java.nio.file.Files.createTempDirectory("h3_prune").toString
     val pts = SpatialOps.withDerivedPosition(
