@@ -97,6 +97,29 @@ class DualPathSpec extends AnyFunSuite with PropHelper {
     }
   }
 
+  test("q61 s2u cells: EXACT center round trip on every row; layout + parents consistent") {
+    val rows = q("q61_s2u_cells").collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Boolean]("rt_ok")), "s2u center round-trip must be exact")
+    rows.foreach { r =>
+      val s2 = r.getAs[Long]("s2"); val p = r.getAs[Long]("s2_parent")
+      assert(graft.core.S2U.parent(s2, 6) == p)
+      assert(graft.core.S2U.level(p) == 6 && graft.core.S2U.level(s2) == 12)
+      assert(graft.core.S2U.contains(p, s2))
+      assert(r.getAs[String]("token") == graft.core.S2U.token(s2))
+      assert(graft.core.S2U.isValid(s2))
+    }
+    // independent second path: every row's id equals the driver-side S2U
+    // encode of the same derived position (codegen vs interpreted)
+    val pos = graft.engine.SpatialOps.withDerivedPosition(
+      spark.read.parquet(s"$sf/customer.parquet").select("c_custkey"), "c_custkey")
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (lon, lat) = pos(r.getAs[Long]("c_custkey"))
+      assert(graft.core.S2U.lonLatToCellAt(lon, lat, 12) == r.getAs[Long]("s2"))
+    }
+  }
+
   test("q40 ann lsh: equals a full driver-side reimplementation (buckets + best-k)") {
     import graft.engine.AnnOps
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
