@@ -123,5 +123,15 @@ class S2USpec extends AnyFunSuite {
       val lon = 43.0 + rnd2.nextDouble() * 4.0; val lat = 10.0 + rnd2.nextDouble() * 2.0
       assert(cells(S2U.lonLatToCellAt(lon, lat, 9)), s"($lon, $lat) not covered at face edge")
     }
+    // a HUGE box (most of the sphere, contains whole faces incl. a polar
+    // face): boundary-sample spacing is several cells here, so this pins
+    // the monotone-extremes-are-sampled argument, not just the ±1 pad
+    val big = S2U.coverBox(-170.0, -60.0, 170.0, 75.0, 7).toSet
+    val rnd3 = new scala.util.Random(71)
+    (1 to 500).foreach { _ =>
+      val lon = -170.0 + rnd3.nextDouble() * 340.0
+      val lat = -60.0 + rnd3.nextDouble() * 135.0
+      assert(big(S2U.lonLatToCellAt(lon, lat, 7)), s"($lon, $lat) not covered in big box")
+    }
   }
 }
