@@ -161,9 +161,20 @@ object DeriveCoveringPrune extends Rule[LogicalPlan] {
         } catch { case _: IllegalArgumentException => None }
       case _ =>
         val (_, cx, cy) = Geohash.gridProperties(minLon, minLat, maxLon, maxLat, bits)
-        if ((cx + 1) * cy <= MaxInCells)
-          Some(Geohash.covering(minLon, minLat, maxLon, maxLat, bits, MaxInCells))
-        else None
+        if ((cx + 1) * cy <= MaxInCells) {
+          val boxCells = Geohash.covering(minLon, minLat, maxLon, maxLat, bits, MaxInCells)
+          pipRings match {
+            // geohash cells are lat/lon-aligned rectangles, so dropping
+            // cells whose rectangle misses the polygon is exactly sound —
+            // a strictly tighter IN-list for L-shaped/sparse polygons
+            case Some(rings) if minLon <= maxLon =>
+              Some(boxCells.filter { c =>
+                val b = Geohash.boundingBox(c, bits)
+                GeoMath.rectIntersectsPolygon(b.minLon, b.minLat, b.maxLon, b.maxLat, rings)
+              })
+            case _ => Some(boxCells)
+          }
+        } else None
     }
   }
 

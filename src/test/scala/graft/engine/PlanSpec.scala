@@ -337,6 +337,36 @@ class PlanSpec extends AnyFunSuite {
            viaJoin.exceptAll(q.select("c_custkey")).isEmpty)
   }
 
+  test("DeriveCoveringPrune: gh-tiled L-shaped PIP filters covering cells by exact rect test") {
+    val dir = java.nio.file.Files.createTempDirectory("gh_poly_prune").toString
+    val pts = SpatialOps.withDerivedPosition(
+      spark.read.parquet("/root/testdata/sf0.01/customer.parquet").select("c_custkey"), "c_custkey")
+    graft.data.IcebergLite.writeTiled(pts, s"$dir/t", "lon", "lat", 30, 8)
+    val tbl = graft.data.IcebergLite.read(spark, s"$dir/t")
+    val lWkt = "POLYGON ((-5.0 40.0, 10.0 40.0, 10.0 44.0, -1.0 44.0, -1.0 55.0, -5.0 55.0, -5.0 40.0))"
+    val q = tbl.where(gf.st_contains_wkt(lit(lWkt), $"lon", $"lat"))
+    val inCells = q.queryExecution.optimizedPlan.collect {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, _) =>
+        cond.collect {
+          case org.apache.spark.sql.catalyst.expressions.In(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference, list)
+            if a.name == "tile_p" => list.length
+          case org.apache.spark.sql.catalyst.expressions.InSet(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference, set)
+            if a.name == "tile_p" => set.size
+        }
+    }.flatten
+    assert(inCells.nonEmpty, "no derived IN-list on tile_p")
+    val boxCells = graft.core.Geohash.covering(-5.0, 40.0, 10.0, 55.0, 8).length
+    assert(inCells.head < boxCells,
+      s"polygon-filtered covering (${inCells.head}) not tighter than box ($boxCells)")
+    val expect = pts.where(gf.st_contains_wkt(lit(lWkt), $"lon", $"lat")).select("c_custkey")
+    assert(q.select("c_custkey").exceptAll(expect).isEmpty &&
+           expect.exceptAll(q.select("c_custkey")).isEmpty,
+      "gh polygon-filtered prune changed results")
+    assert(q.count() > 0)
+  }
+
   test("DeriveCoveringPrune: S2-tiled table derives a coverBox IN-list prune") {
     val dir = java.nio.file.Files.createTempDirectory("s2_prune").toString
     val pts = SpatialOps.withDerivedPosition(
