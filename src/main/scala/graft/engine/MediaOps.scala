@@ -14,12 +14,13 @@ import graft.data.ImageGen
   * analogue of `mapInPandas` (one JVM decode context reused across the
   * partition's rows, no per-row UDF setup).
   *
-  * Real vs stubbed: image decode/resize/metadata are REAL (javax.imageio);
-  * `audioFeatures` is REAL (pure-spec RIFF/WAVE PCM parser in
-  * [[graft.core.Wav]] — WAV needs no codec library); only `frameSample`
-  * (video) remains a STUB — a deterministic fake behind the same
-  * schema/partitioning/batch plumbing, clearly marked, because no video
-  * codec exists in this container.
+  * All three modalities are REAL in this container, each without a codec
+  * library: image decode/resize/metadata via javax.imageio;
+  * `audioFeatures` via the pure-spec RIFF/WAVE PCM parser
+  * ([[graft.core.Wav]]); `frameSample` via the pure-spec RIFF/AVI MJPEG
+  * container walk ([[graft.core.Avi]] — frames are plain JPEG, which
+  * javax.imageio decodes). Codec-compressed formats beyond these (H.264,
+  * MP3, …) would need external libraries that do not exist here.
   */
 object MediaOps {
 
@@ -68,19 +69,27 @@ object MediaOps {
       }
   }
 
-  /** STUB (no video codec in this container): deterministic fake frame
-    * sampler — emits `n` evenly-spaced byte windows of the payload as
-    * "frames". The Spark plumbing (explode one row → n typed rows,
-    * partition-preserving, schema'd) is the real deliverable; replace the
-    * window slice with a codec call to make it real. */
+  /** REAL: parse the payload as RIFF/AVI MJPEG ([[graft.core.Avi]] — a
+    * pure-spec container walk; frames are plain JPEG, decodable by
+    * javax.imageio) and emit `n` evenly-spaced frames as (media_id,
+    * frame_idx, jpeg_bytes) rows. Malformed/non-AVI payloads yield a
+    * single (id, -1, empty) error row instead of failing the partition.
+    * Batch shape: one row explodes to ≤n typed rows, streamed per
+    * partition. */
   def frameSample(df: DataFrame, idCol: String, bytesCol: String, n: Int): Dataset[Frames] = {
     import df.sparkSession.implicits._
     df.select(col(idCol), col(bytesCol)).as[(String, Array[Byte])]
       .flatMap { case (id, bytes) =>
-        val len = math.max(1, bytes.length / n)
-        (0 until n).map { k =>
-          val off = math.min(bytes.length - 1, k * bytes.length / n)
-          Frames(id, k, java.util.Arrays.copyOfRange(bytes, off, math.min(bytes.length, off + len)))
+        try {
+          val video = graft.core.Avi.decode(bytes)
+          val total = video.frames.length
+          val take = math.min(n, total)
+          (0 until take).map { k =>
+            val src = if (take == 1) 0 else k * (total - 1) / (take - 1)
+            Frames(id, k, video.frames(src))
+          }
+        } catch {
+          case _: IllegalArgumentException => Seq(Frames(id, -1, Array.emptyByteArray))
         }
       }
   }

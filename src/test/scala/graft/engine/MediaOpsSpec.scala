@@ -44,10 +44,40 @@ class MediaOpsSpec extends AnyFunSuite {
     }
   }
 
-  test("frameSample stub: n typed rows per input, deterministic slices") {
-    val frames = MediaOps.frameSample(imgs, "image_id", "bytes", 4).collect()
-    assert(frames.length == 60 * 4)
+  test("frameSample: REAL MJPEG-AVI parse — sampled frames decode to the source images") {
+    import spark.implicits._
+    // synthesize 12-frame MJPEG videos from deterministic images: each
+    // frame is a distinct 16x12 image JPEG-encoded by javax.imageio
+    def jpeg(seed: Int): Array[Byte] = {
+      val img = ImageGen.toBufferedImage(
+        ImageGen.pixelsOf(f"img$seed%012d", 16, 12), 16, 12)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    val vids = (0 until 5).map { v =>
+      (f"vid$v%03d", graft.core.Avi.encode((0 until 12).map(k => jpeg(v * 100 + k)), 16, 12, fps = 8.0))
+    }
+    val frames = MediaOps.frameSample(vids.toDF("media_id", "bytes"), "media_id", "bytes", 4)
+      .collect()
+    assert(frames.length == 5 * 4)
     assert(frames.groupBy(_.media_id).forall(_._2.map(_.frame_idx).sorted.sameElements(0 until 4)))
+    // every sampled frame is a decodable JPEG at the declared dims, and
+    // frame 0 / frame 3 are the first/last source frames (even spacing)
+    frames.foreach { f =>
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.frame))
+      assert(img != null && img.getWidth == 16 && img.getHeight == 12, f.media_id)
+    }
+    vids.foreach { case (id, bytes) =>
+      val src = graft.core.Avi.decode(bytes)
+      val byIdx = frames.filter(_.media_id == id).map(f => f.frame_idx -> f.frame).toMap
+      assert(java.util.Arrays.equals(byIdx(0), src.frames.head))
+      assert(java.util.Arrays.equals(byIdx(3), src.frames.last))
+      assert(src.fps == 8.0 && src.width == 16 && src.height == 12)
+    }
+    // malformed payloads (raw image bytes) become error rows, not failures
+    val bad = MediaOps.frameSample(imgs.limit(3), "image_id", "bytes", 4).collect()
+    assert(bad.length == 3 && bad.forall(f => f.frame_idx == -1 && f.frame.isEmpty))
   }
 
   test("audioFeatures: REAL WAV parse — golden sine features") {
