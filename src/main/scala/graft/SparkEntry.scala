@@ -306,6 +306,32 @@ object SparkEntry {
         .where(gf.st_contains_wkt(lit(franceWkt), col("lon"), col("lat")))
         .select("c_custkey", "lon", "lat")
     },
+    "q62_audio_meta" -> gq { (s, dir) =>
+      // REAL audio end-to-end with an ORACLE: deterministic WAV clips
+      // (MediaGen formulas of the id) are parsed back by the pure-spec
+      // Wav decoder; DuckDB recomputes the expected container metadata
+      // from the same formulas — a value-level round-trip gate on the
+      // audio path (feature math rms/zcr is dual-path in MediaOpsSpec)
+      import s.implicits._
+      graft.data.MediaGen.audioTable(s, 2000)
+        .as[(String, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val p = graft.core.Wav.decode(bytes)
+          (id, p.sampleRate, p.samples.length, p.durationS)
+        }).toDF("media_id", "sample_rate", "n_samples", "duration_s")
+    },
+    "q63_video_meta" -> gq { (s, dir) =>
+      // REAL video end-to-end with an ORACLE: MJPEG-AVI clips parsed by
+      // the pure-spec Avi walker; DuckDB recomputes frame counts / dims /
+      // fps from the generator formulas
+      import s.implicits._
+      graft.data.MediaGen.videoTable(s, 300)
+        .as[(String, Array[Byte])]
+        .mapPartitions(_.map { case (id, bytes) =>
+          val v = graft.core.Avi.decode(bytes)
+          (id, v.frames.length, v.width, v.height, math.round(v.fps).toInt)
+        }).toDF("media_id", "n_frames", "w", "h", "fps_i")
+    },
     "q60_s2u_box" -> gq { (s, dir) =>
       // box query on the PUBLISHED-LAYOUT S2 index (graft.core.S2U):
       // conservative coverBox prefilter via broadcast equi-join on
@@ -628,6 +654,18 @@ object SparkEntry {
       "q59_h3u_poly_pip" -> // polygonToCells prefilter + exact refine == pure PIP
         s"""$custIdx SELECT c_custkey, _lon AS lon, _lat AS lat FROM _idx
            | WHERE ${pipSql("_lon", "_lat", lShapeQuad)}""".stripMargin.replace("\n", " "),
+      "q62_audio_meta" -> // WAV container round trip vs the generator formulas
+        s"""SELECT 'aud' || lpad(CAST(id AS VARCHAR), 5, '0') AS media_id,
+           |       CAST(16000 AS INTEGER) AS sample_rate,
+           |       CAST(FLOOR(((1600 + 16*(id%100)) / 16000.0) * 16000) AS INTEGER) AS n_samples,
+           |       CAST(FLOOR(((1600 + 16*(id%100)) / 16000.0) * 16000) AS DOUBLE)/16000.0 AS duration_s
+           | FROM range(2000) AS t(id)""".stripMargin.replace("\n", " "),
+      "q63_video_meta" -> // AVI container round trip vs the generator formulas
+        s"""SELECT 'vid' || lpad(CAST(id AS VARCHAR), 5, '0') AS media_id,
+           |       CAST(4 + id%5 AS INTEGER) AS n_frames,
+           |       CAST(32 AS INTEGER) AS w, CAST(24 AS INTEGER) AS h,
+           |       CAST(8 + id%4 AS INTEGER) AS fps_i
+           | FROM range(300) AS t(id)""".stripMargin.replace("\n", " "),
       "q60_s2u_box" -> // S2 coverBox prefilter + exact refine == plain box
         s"""$custIdx SELECT c_custkey, _lon AS lon, _lat AS lat FROM _idx
            | WHERE _lon >= ${londonBox.minLon} AND _lon <= ${londonBox.maxLon}
