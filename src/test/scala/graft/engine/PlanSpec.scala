@@ -220,6 +220,46 @@ class PlanSpec extends AnyFunSuite {
       "window must sit ABOVE the TakeOrderedAndProject branches")
   }
 
+  test("DeriveCoveringPrune fuzz: random boxes + polygons over all three index types") {
+    val pts = SpatialOps.withDerivedPosition(
+      spark.read.parquet("/root/testdata/sf0.001/customer.parquet").select("c_custkey"), "c_custkey")
+    val base = java.nio.file.Files.createTempDirectory("prune_fuzz").toString
+    graft.data.IcebergLite.writeTiled(pts, s"$base/gh", "lon", "lat", 30, 6)
+    graft.data.IcebergLite.writeTiledH3(pts, s"$base/h3", "lon", "lat", 6, 2)
+    graft.data.IcebergLite.writeTiledS2(pts, s"$base/s2", "lon", "lat", 10, 5)
+    val tables = Seq(
+      graft.data.IcebergLite.read(spark, s"$base/gh"),
+      graft.data.IcebergLite.read(spark, s"$base/h3"),
+      graft.data.IcebergLite.read(spark, s"$base/s2"))
+    val rnd = new scala.util.Random(97)
+    (1 to 6).foreach { _ =>
+      // random box, biased toward the planted hot-spots sometimes
+      val lon0 = rnd.nextDouble() * 340 - 170
+      val lat0 = rnd.nextDouble() * 150 - 80
+      val w = rnd.nextDouble() * 20 + 0.5; val h = rnd.nextDouble() * 15 + 0.5
+      val (lon1, lat1) = (math.min(179.9, lon0 + w), math.min(89.9, lat0 + h))
+      val expect = pts.where($"lon" >= lon0 && $"lon" <= lon1 &&
+                             $"lat" >= lat0 && $"lat" <= lat1).select("c_custkey")
+      tables.foreach { tbl =>
+        val q = tbl.where($"lon" >= lon0 && $"lon" <= lon1 &&
+                          $"lat" >= lat0 && $"lat" <= lat1).select("c_custkey")
+        assert(q.exceptAll(expect).isEmpty && expect.exceptAll(q).isEmpty,
+          s"box ($lon0,$lat0,$lon1,$lat1) parity broke")
+      }
+      // random triangle PIP over the same region
+      val ax = lon0; val ay = lat0
+      val bx = lon1; val by = lat0 + rnd.nextDouble() * (lat1 - lat0)
+      val cx = lon0 + rnd.nextDouble() * (lon1 - lon0); val cy = lat1
+      val wkt = s"POLYGON (($ax $ay, $bx $by, $cx $cy, $ax $ay))"
+      val expectP = pts.where(gf.st_contains_wkt(lit(wkt), $"lon", $"lat")).select("c_custkey")
+      tables.foreach { tbl =>
+        val q = tbl.where(gf.st_contains_wkt(lit(wkt), $"lon", $"lat")).select("c_custkey")
+        assert(q.exceptAll(expectP).isEmpty && expectP.exceptAll(q).isEmpty,
+          s"polygon $wkt parity broke")
+      }
+    }
+  }
+
   test("knnRing: final top-k is TakeOrderedAndProject, not a full-scan global window") {
     val pts = SpatialOps.withDerivedPosition(
       spark.read.parquet(s"$sf/customer.parquet").select("c_custkey"), "c_custkey")
