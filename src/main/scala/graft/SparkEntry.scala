@@ -410,6 +410,13 @@ object SparkEntry {
         .agg(min("doc_id").as("doc_id"), count("*").as("n"))
         .select("doc_id", "fp", "n")
     },
+    "q64_stream_dedup" -> gq { (s, dir) =>
+      // ingest-time exact dedup: stateful first-seen per canonical
+      // fingerprint; a single static batch reduces to GROUP BY fp →
+      // min(doc_id), which the DuckDB oracle reproduces
+      graft.engine.StreamOps.streamedDedup(s, s"$dir/documents.parquet", "doc_id", "text")
+        .select("fp", "doc_id")
+    },
     "q31_fingerprint" -> gq { (s, dir) =>
       graft.engine.TextOps.fingerprint(ld(s, dir, "documents"), "doc_id", "text")
     },
@@ -769,6 +776,11 @@ object SparkEntry {
         s"""SELECT doc_id, ${hash60DuckSql(
             s"array_to_string(list_sort(list_distinct(${tokensDuck("text")})), ' ')")} AS fp
            | FROM documents""".stripMargin.replace("\n", " "),
+      "q64_stream_dedup" -> // stateful stream dedup over one batch == GROUP BY
+        s"""SELECT ${hash60DuckSql(
+            s"array_to_string(list_sort(list_distinct(${tokensDuck("text")})), ' ')")} AS fp,
+           |       min(doc_id) AS doc_id
+           | FROM documents GROUP BY 1""".stripMargin.replace("\n", " "),
       "q32_minhash_lsh" ->
         minhashLshDuck("documents", "doc_id", "text",
           graft.engine.TextOps.MinhashK, graft.engine.TextOps.Bands,

@@ -179,6 +179,43 @@ object StreamOps {
       .groupBy("tile").agg(count(lit(1)).as("n")).select("tile", "n")
   }
 
+  final case class DedupRow(fp: Long, doc_id: Long)
+
+  /** Streaming exact dedup — the ingest-time form of the batch dedup
+    * family (q30/q31): documents stream in, each gets the canonical
+    * 60-bit fingerprint, and the FIRST batch to present a fingerprint
+    * emits its minimal doc id; every later occurrence is swallowed by the
+    * per-fingerprint state. At 100 TB this is the shape that avoids
+    * re-scanning the corpus per increment: state is partitioned by
+    * fingerprint (shuffle on the dedup key), so each micro-batch costs
+    * O(batch), not O(corpus). Over a single static batch the result
+    * equals `GROUP BY fp → min(doc_id)` — the DuckDB oracle (q64). */
+  def streamedDedup(spark: SparkSession, parquetPath: String,
+                    idCol: String, textCol: String,
+                    maxFilesPerTrigger: Int = 0): DataFrame = {
+    import spark.implicits._
+    val schema = spark.read.parquet(parquetPath).schema
+    val f = new java.io.File(parquetPath)
+    val (dir, glob) = if (f.isDirectory) (parquetPath, "*") else (f.getParent, f.getName)
+    var reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if (maxFilesPerTrigger > 0) reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val docs = reader.parquet(dir).select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val fps = TextOps.fingerprint(docs, "doc_id", "text").as[(Long, Long)]
+    val deduped = fps.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (fp: Long, rows: Iterator[(Long, Long)], state: GroupState[Boolean]) => {
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(DedupRow(fp, rows.map(_._1).min)) }
+        })
+    val name = s"q64_out_${System.nanoTime()}"
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name).localCheckpoint(true) // see streamedWindowAgg
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   // TIMESTAMP_NTZ columns (parquet timestamps without tz) map to
   // LocalDateTime in typed Datasets — keeping NTZ end-to-end matches the
   // naive timestamps the DuckDB oracle produces.

@@ -248,6 +248,31 @@ class EngineOpsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batchCounts).isEmpty && batchCounts.exceptAll(streamed).isEmpty)
   }
 
+  test("streamedDedup: first batch wins per fingerprint, later duplicates swallowed") {
+    val dir = java.nio.file.Files.createTempDirectory("stream_dedup").toString
+    import spark.implicits._
+    // batch 1: ids 10, 11 with texts A, B; batch 2: ids 1 (A again — dup
+    // of an ALREADY-SEEN fp with a SMALLER id) and 12 (new text C)
+    Seq((10L, "alpha beta gamma"), (11L, "delta epsilon"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/in")
+    Thread.sleep(1100)
+    Seq((1L, "alpha beta gamma"), (12L, "zeta eta theta"))
+      .toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val out = StreamOps.streamedDedup(spark, s"$dir/in", "doc_id", "text",
+        maxFilesPerTrigger = 1)
+      .collect().map(r => r.getAs[Long]("fp") -> r.getAs[Long]("doc_id")).toMap
+    assert(out.size == 3, s"expected 3 distinct fingerprints, got $out")
+    // the duplicate text keeps the FIRST batch's id (10), not the later 1
+    assert(out.values.toSet == Set(10L, 11L, 12L), out.toString)
+    // and over a single static batch the result equals the batch group-by
+    val single = StreamOps.streamedDedup(spark, s"$dir/in", "doc_id", "text")
+      .select("fp", "doc_id")
+    val batch = graft.engine.TextOps.fingerprint(
+        spark.read.parquet(s"$dir/in"), "doc_id", "text")
+      .groupBy("fp").agg(min("doc_id").as("doc_id")).select("fp", "doc_id")
+    assert(single.exceptAll(batch).isEmpty && batch.exceptAll(single).isEmpty)
+  }
+
   test("streamed ingest auto-compaction: snapshots stay bounded, content identical, prune fires") {
     import graft.data.IcebergLite
     val dir = java.nio.file.Files.createTempDirectory("stream_compact").toString
