@@ -178,13 +178,20 @@ object IcebergLite {
   /** Tile-aware write: assigns `tile` (at tileBits) and the partition prefix
     * column (at prefixBits) from lon/lat, records the tiling as table
     * properties so [[graft.sql.DeriveCoveringPrune]] can rewrite box/PIP
-    * filters into partition predicates. */
+    * filters into partition predicates. Rows are tile-sorted WITHIN each
+    * task before writing (no repartition — a hot prefix must not collapse
+    * into one task): locally clustered tile/lon/lat values give every
+    * parquet row group tight min/max stats, so refine predicates skip row
+    * groups inside the surviving partitions at 100 TB — a second pruning
+    * level under the partition IN-list. XOR checksums are order-
+    * insensitive, so manifests are unaffected. */
   def writeTiled(df: DataFrame, table: String, lonCol: String, latCol: String,
                  tileBits: Int, prefixBits: Int,
                  prefixCol: String = "tile_p"): Manifest = {
     val tiled = df
       .withColumn("tile", graft.sql.functions.gh_encode(col(lonCol), col(latCol), tileBits))
       .withColumn(prefixCol, graft.sql.functions.gh_parent(col("tile"), tileBits, prefixBits))
+      .sortWithinPartitions(prefixCol, "tile")
     write(tiled, table, prefixCol, properties = Map(
       PropPrefixBits -> prefixBits.toString, PropLonCol -> lonCol, PropLatCol -> latCol,
       PropIndexType -> "gh"))
@@ -201,6 +208,7 @@ object IcebergLite {
     val tiled = df
       .withColumn("tile", graft.sql.functions.h3u_cell(col(lonCol), col(latCol), tileRes))
       .withColumn(prefixCol, graft.sql.functions.h3u_parent(col("tile"), prefixRes))
+      .sortWithinPartitions(prefixCol, "tile")
     write(tiled, table, prefixCol, properties = Map(
       PropPrefixBits -> prefixRes.toString, PropLonCol -> lonCol, PropLatCol -> latCol,
       PropIndexType -> "h3u"))
@@ -216,6 +224,7 @@ object IcebergLite {
     val tiled = df
       .withColumn("tile", graft.sql.functions.s2u_cell(col(lonCol), col(latCol), tileLevel))
       .withColumn(prefixCol, graft.sql.functions.s2u_parent(col("tile"), prefixLevel))
+      .sortWithinPartitions(prefixCol, "tile")
     write(tiled, table, prefixCol, properties = Map(
       PropPrefixBits -> prefixLevel.toString, PropLonCol -> lonCol, PropLatCol -> latCol,
       PropIndexType -> "s2u"))
@@ -287,7 +296,14 @@ object IcebergLite {
     val snapshotId = prior.snapshotId + 1
     // materialize before writing: the new snapshot dir is separate, but the
     // plan must not lazily re-list data/ mid-write
-    val current = read(spark, table).localCheckpoint(true)
+    val current0 = read(spark, table).localCheckpoint(true)
+    // restore tile clustering lost to micro-batch appends: tiled tables get
+    // tight per-row-group min/max stats back after compaction (see
+    // writeTiled; XOR checksums are order-insensitive)
+    val current =
+      if (current0.columns.contains("tile"))
+        current0.sortWithinPartitions(col(prior.partitionCol), col("tile"))
+      else current0
     val incoming = stats(current, prior.partitionCol)
     writeSnapshotFiles(current, table, prior.partitionCol, snapshotId, incoming.keys.toSeq)
     val m = Manifest(snapshotId, prior.snapshotId, prior.partitionCol, prior.properties,
