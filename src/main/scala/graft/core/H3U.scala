@@ -764,7 +764,7 @@ object H3U {
   /** Calibration inconsistencies (must be empty — asserted by H3USpec; kept
     * as data rather than an init-time throw so failures are debuggable). */
   @volatile private var calibrationConflictList: List[String] = Nil
-  def calibrationConflicts: Seq[String] = { posLookup; calibrationConflictList }
+  def calibrationConflicts: Seq[String] = { val _ = posLookup; calibrationConflictList }
 
   private val (posLookup: Map[(Int, Int, Int, Int), (Int, Int)], cwOffset: Set[(Int, Int)]) = {
     def frontEnd(lat: Double, lng: Double, res: Int): (Int, IJK, Array[Int]) = {

@@ -25,7 +25,7 @@ object AnnOps {
     * stays O(1) in dim instead of a 64-term expression tree (the explicit
     * form made Janino compile multi-KB methods per query). */
   def dotConst(embCol: String, qv: Array[Double]): Column = {
-    val qlit = array(qv.map(lit): _*)
+    val qlit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(qv.map(lit)): _*)
     aggregate(zip_with(col(embCol).cast("array<double>"), qlit, (x, y) => x * y),
       lit(0.0), (acc, x) => acc + x)
   }
@@ -127,7 +127,7 @@ object AnnOps {
     val perQuery = (0 until nQueries).map { q =>
       val qv = queryVec(q, dim)
       val qn = math.sqrt(qv.map(x => x * x).sum)
-      val qlit = array(qv.map(lit): _*)
+      val qlit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(qv.map(lit)): _*)
       // the query's nProbe nearest centroid lists (tiny: nCentroids rows)
       val qd2 = aggregate(
         zip_with(qlit, col("_cvec").cast("array<double>"), (x, y) => (x - y) * (x - y)),

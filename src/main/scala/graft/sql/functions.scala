@@ -15,7 +15,7 @@ import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, LongType, 
   */
 object GraftFunctions {
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.sql", null, name, usage, "")
+    new ExpressionInfo("graft.sql", "", name, usage, "", "", "", "", "", "", "built-in")
 
   // Implicit input coercion (ExpectsInputTypes is private[sql] in Spark 4,
   // so the builders cast instead; no-op casts fold away in the optimizer).
