@@ -197,6 +197,31 @@ object OracleSql {
     * side, oversized buckets are filtered out, candidates equi-join. */
   def minhashLshDuck(table: String, idCol: String, textCol: String,
                      k: Int, bands: Int, threshold: Double, bucketCap: Int): String = {
+    val (ctes, sel) = minhashLshParts(table, idCol, textCol, k, bands, threshold, bucketCap)
+    s"WITH $ctes $sel"
+  }
+
+  /** Connected components over the LSH pair set (TextOps.dedupClusters):
+    * transitive closure by recursive CTE (fine at oracle scale — clusters
+    * are band-bucket-capped), min reachable id as the representative. */
+  def dedupClustersDuck(table: String, idCol: String, textCol: String,
+                        k: Int, bands: Int, threshold: Double, bucketCap: Int): String = {
+    val (ctes, sel) = minhashLshParts(table, idCol, textCol, k, bands, threshold, bucketCap)
+    s"""WITH RECURSIVE $ctes,
+       | _p AS ($sel),
+       | _nodes AS (SELECT doc_a AS v FROM _p UNION SELECT doc_b FROM _p),
+       | _e AS (SELECT doc_a AS a, doc_b AS b FROM _p UNION SELECT doc_b, doc_a FROM _p),
+       | _reach(v, r) AS (
+       |   SELECT v, v FROM _nodes
+       |   UNION
+       |   SELECT _e.b, _reach.r FROM _reach JOIN _e ON _e.a = _reach.v)
+       | SELECT v AS doc_id, min(r) AS cluster_rep FROM _reach GROUP BY v""".stripMargin.replace("\n", " ")
+  }
+
+  /** (CTE chain, final SELECT) of the LSH pair query — shared by
+    * [[minhashLshDuck]] and the closure wrapper [[dedupClustersDuck]]. */
+  def minhashLshParts(table: String, idCol: String, textCol: String,
+                     k: Int, bands: Int, threshold: Double, bucketCap: Int): (String, String) = {
     val rows = k / bands
     val mins = (0 until k).map(i =>
       s"min(${graft.engine.TextOps.affineHashSql("_h", i)}) AS s$i").mkString(", ")
@@ -206,7 +231,7 @@ object OracleSql {
     }.mkString(", ")
     val unpivot = (0 until bands).map(b =>
       s"SELECT $idCol, $b AS band, b$b AS key FROM _b").mkString(" UNION ALL ")
-    s"""${shingleCtes(table, idCol, textCol)},
+    val ctes = s"""${shingleCtes(table, idCol, textCol).stripPrefix("WITH ")},
        | _shh AS (SELECT $idCol, sh, ${hash60DuckSql("sh")} AS _h FROM _sh),
        | _sig AS (SELECT $idCol, $mins FROM _shh GROUP BY $idCol),
        | _b AS (SELECT $idCol, $bandExprs FROM _sig),
@@ -221,11 +246,12 @@ object OracleSql {
        | _int AS (SELECT doc_a, doc_b, count(*) AS inter
        |          FROM _cand c JOIN _sh x ON x.$idCol = c.doc_a
        |                       JOIN _sh y ON y.$idCol = c.doc_b AND y.sh = x.sh
-       |          GROUP BY doc_a, doc_b)
-       | SELECT i.doc_a, i.doc_b, inter, na.n AS n_a, nb.n AS n_b,
+       |          GROUP BY doc_a, doc_b)""".stripMargin.replace("\n", " ")
+    val sel = s"""SELECT i.doc_a, i.doc_b, inter, na.n AS n_a, nb.n AS n_b,
        |        CAST(inter AS DOUBLE) / (na.n + nb.n - inter) AS jaccard
        | FROM _int i JOIN _cnt na ON na.$idCol = i.doc_a JOIN _cnt nb ON nb.$idCol = i.doc_b
        | WHERE CAST(inter AS DOUBLE) / (na.n + nb.n - inter) >= $threshold""".stripMargin.replace("\n", " ")
+    (ctes, sel)
   }
 
   /** 60-bit SimHash (TextOps.simhash60). */

@@ -377,6 +377,20 @@ object SparkEntry {
         .where(gf.st_contains_wkt(lit(lShapeWkt), col("lon"), col("lat")))
         .select("c_custkey", "lon", "lat")
     },
+    "q66_s2u_poly_pip" -> gq { (s, dir) =>
+      // polygon-TIGHTENED S2 covering (S2U.coverPolygon: bbox coverBox
+      // minus cells whose conservative rect bound misses the polygon —
+      // the s2u twin of q59's polyfillPoly path): broadcast prefilter on
+      // s2u_cell, exact ray-cast refine — pure PIP, same oracle as q59
+      import s.implicits._
+      val rings = graft.core.GeoMath.parseWktPolygon(lShapeWkt)
+      val cells = graft.core.S2U.coverPolygon(rings, 9).toSeq.toDF("__s2")
+      val pts = SpatialOps.withDerivedPosition(ld(s, dir, "customer").select("c_custkey"), "c_custkey")
+      pts.withColumn("__s2", gf.s2u_cell(col("lon"), col("lat"), 9))
+        .join(broadcast(cells), "__s2").drop("__s2")
+        .where(gf.st_contains_wkt(lit(lShapeWkt), col("lon"), col("lat")))
+        .select("c_custkey", "lon", "lat")
+    },
     "q55_h3u_cells" -> gq { (s, dir) =>
       // Uber-H3 BIT-COMPATIBLE cells (graft.core.H3U; published golden
       // vectors pin the id layout in H3USpec — no SQL oracle is possible,
@@ -422,6 +436,27 @@ object SparkEntry {
     },
     "q32_minhash_lsh" -> gq { (s, dir) =>
       graft.engine.TextOps.minhashLshPairs(ld(s, dir, "documents"), "doc_id", "text")
+    },
+    "q67_stream_neardup" -> gq { (s, dir) =>
+      // ingest-time LSH near-dup: band-bucket keyed flatMapGroupsWithState
+      // emits candidate pairs as documents stream in (capped per-bucket
+      // state, first-seen-wins); exact jaccard then verifies against the
+      // stored corpus — over one static batch this equals q32, so the
+      // same DuckDB oracle checks it
+      val docs = ld(s, dir, "documents")
+      val pairs = graft.engine.StreamOps.streamedNearDupCandidates(
+        s, s"$dir/documents.parquet", "doc_id", "text")
+      graft.engine.TextOps.ngramJaccard(docs, "doc_id", "text", pairs)
+        .where(col("jaccard") >= graft.engine.TextOps.JaccardThreshold)
+    },
+    "q65_dedup_clusters" -> gq { (s, dir) =>
+      // near-dup cluster resolution: the q32 LSH pair set resolved to
+      // (doc_id, cluster_rep) by large-star/small-star connected
+      // components, min-id representative — the end of the dedup pipeline
+      val docs = ld(s, dir, "documents")
+      graft.engine.TextOps.dedupClusters(
+        graft.engine.TextOps.minhashLshPairs(docs, "doc_id", "text")
+          .select("doc_a", "doc_b"))
     },
     "q33_simhash" -> gq { (s, dir) =>
       graft.engine.TextOps.simhash60(ld(s, dir, "documents"), "doc_id", "text")
@@ -661,6 +696,9 @@ object SparkEntry {
       "q59_h3u_poly_pip" -> // polygonToCells prefilter + exact refine == pure PIP
         s"""$custIdx SELECT c_custkey, _lon AS lon, _lat AS lat FROM _idx
            | WHERE ${pipSql("_lon", "_lat", lShapeQuad)}""".stripMargin.replace("\n", " "),
+      "q66_s2u_poly_pip" -> // S2 coverPolygon prefilter + exact refine == pure PIP
+        s"""$custIdx SELECT c_custkey, _lon AS lon, _lat AS lat FROM _idx
+           | WHERE ${pipSql("_lon", "_lat", lShapeQuad)}""".stripMargin.replace("\n", " "),
       "q62_audio_meta" -> // WAV container round trip vs the generator formulas
         s"""SELECT 'aud' || lpad(CAST(id AS VARCHAR), 5, '0') AS media_id,
            |       CAST(16000 AS INTEGER) AS sample_rate,
@@ -783,6 +821,14 @@ object SparkEntry {
            | FROM documents GROUP BY 1""".stripMargin.replace("\n", " "),
       "q32_minhash_lsh" ->
         minhashLshDuck("documents", "doc_id", "text",
+          graft.engine.TextOps.MinhashK, graft.engine.TextOps.Bands,
+          graft.engine.TextOps.JaccardThreshold, graft.engine.TextOps.BandBucketCap),
+      "q67_stream_neardup" -> // one static batch == the batch LSH pipeline
+        minhashLshDuck("documents", "doc_id", "text",
+          graft.engine.TextOps.MinhashK, graft.engine.TextOps.Bands,
+          graft.engine.TextOps.JaccardThreshold, graft.engine.TextOps.BandBucketCap),
+      "q65_dedup_clusters" ->
+        dedupClustersDuck("documents", "doc_id", "text",
           graft.engine.TextOps.MinhashK, graft.engine.TextOps.Bands,
           graft.engine.TextOps.JaccardThreshold, graft.engine.TextOps.BandBucketCap),
       "q33_simhash" -> simhashDuck("documents", "doc_id", "text"),

@@ -96,8 +96,11 @@ object Avi {
     fourcc("vids"); fourcc("MJPG")
     b.putInt(0); b.putShort(0); b.putShort(0) // flags, priority, language
     b.putInt(0)                               // dwInitialFrames
-    b.putInt(1)                               // dwScale
-    b.putInt(math.round(fps).toInt)           // dwRate (fps = rate/scale)
+    // fps as a RATIONAL (rate/scale = fps): scale 1000 keeps sub-integer
+    // frame rates (e.g. 29.97) consistent with avih's dwMicroSecPerFrame
+    // instead of truncating to the nearest integer fps in stream metadata
+    b.putInt(1000)                            // dwScale
+    b.putInt(math.round(fps * 1000.0).toInt)  // dwRate (fps = rate/scale)
     b.putInt(0)                               // dwStart
     b.putInt(jpegFrames.length)               // dwLength
     b.putInt(maxFrame)                        // dwSuggestedBufferSize

@@ -1050,6 +1050,42 @@ object H3U {
     acc
   }
 
+  /** Published compactCells: repeatedly replace COMPLETE sibling sets
+    * (all 7 children — 6 for pentagon parents, whose K-subsequence child
+    * is deleted) by their parent, yielding a mixed-resolution set covering
+    * EXACTLY the same region ([[uncompactCells]] inverts it). Input must
+    * be distinct cells of one resolution (the published contract). Output
+    * is sorted (deterministic). A compacted covering shrinks broadcast
+    * IN-lists by up to 7× per promoted level — the difference between a
+    * continent-sized region pruning partitions and bailing to a full scan. */
+  def compactCells(cells: Array[Long]): Array[Long] = {
+    if (cells.isEmpty) return cells
+    val res0 = resolution(cells(0))
+    require(cells.forall(resolution(_) == res0), "compactCells needs uniform resolution")
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var cur: Array[Long] = cells.distinct
+    var res = res0
+    while (res > 0 && cur.nonEmpty) {
+      val byParent = cur.groupBy(cellToParent(_, res - 1))
+      val promoted = scala.collection.mutable.ArrayBuffer.empty[Long]
+      byParent.foreach { case (p, kids) =>
+        val expected = if (isPentagon(p)) 6 else 7
+        if (kids.length == expected) promoted += p
+        else out ++= kids
+      }
+      cur = promoted.toArray
+      res -= 1
+    }
+    out ++= cur // res-0 survivors (whole base cells)
+    out.sorted.toArray
+  }
+
+  /** Published uncompactCells: expand every cell of a (possibly
+    * mixed-resolution) set to `res`. Cells already at `res` pass through;
+    * cells finer than `res` are rejected (the published error contract). */
+  def uncompactCells(cells: Array[Long], res: Int): Array[Long] =
+    cells.flatMap(cellToChildren(_, res))
+
   /** The ≤6 adjacent cells (5 around a pentagon) — computed by one lattice
     * step + overage canonicalization + re-encode of the neighbor's center,
     * NOT by the published neighbor-rotation tables (whose 4×49 digit

@@ -208,47 +208,75 @@ object S2U {
     * exactly). The box boundary is sampled densely; each touched face
     * contributes the padded (i, j) rectangle of its samples at `level`.
     * Extremes of the smooth uv maps over the closed box lie on its
-    * boundary, and the ±1-cell pad absorbs inter-sample deviation —
-    * soundness is property-tested in S2USpec. Non-wrapped boxes. */
+    * boundary; inter-sample deviation is absorbed by ADAPTIVE sampling +
+    * padding: a first 256-sample pass estimates the box extent E in cells
+    * per side, the boundary is re-sampled at ~4 samples per boundary cell
+    * (capped at 2^14 per line), and the pad grows by the curvature bound
+    * ceil(8·E²/(m²·2^level)) — the ij-boundary curves are smooth with
+    * relative curvature O(E²/2^level) in cell units, so the secant
+    * overshoot over a 1/m parameter interval is below that bound (a fixed
+    * ±1 pad was unsound for boxes spanning ~1000 cells per side near the
+    * maxCells limit). Soundness is property-tested in S2USpec, including
+    * near-maxCells extents. Non-wrapped boxes. */
   def coverBox(minLon: Double, minLat: Double, maxLon: Double, maxLat: Double,
                level: Int, maxCells: Int = 1 << 20): Array[Long] = {
     require(minLon <= maxLon && minLat <= maxLat, "coverBox needs a non-wrapped box")
     require(level >= 0 && level <= MaxLevel, s"level $level")
     val shift = MaxLevel - level
-    val samples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-    val n = 256
-    (0 to n).foreach { k =>
-      val fLon = minLon + (maxLon - minLon) * k / n
-      val fLat = minLat + (maxLat - minLat) * k / n
-      samples += ((fLon, minLat)); samples += ((fLon, maxLat))
-      samples += ((minLon, fLat)); samples += ((maxLon, fLat))
+
+    /** One sampling pass: per touched face, the raw (unpadded) (i, j)
+      * rectangle of the boundary samples at `level`. */
+    def facesRects(n: Int): Map[Int, (Int, Int, Int, Int)] = {
+      val samples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+      (0 to n).foreach { k =>
+        val fLon = minLon + (maxLon - minLon) * k / n
+        val fLat = minLat + (maxLat - minLat) * k / n
+        samples += ((fLon, minLat)); samples += ((fLon, maxLat))
+        samples += ((minLon, fLat)); samples += ((maxLon, fLat))
+      }
+      // u/v critical lines of the central projection can sit strictly
+      // inside the box (e.g. lon = 0 on the ±x faces): include the
+      // interior grid lines through multiples of 45° to capture them
+      var g = math.ceil(minLon / 45.0) * 45.0
+      while (g <= maxLon) {
+        (0 to n).foreach { k => samples += ((g, minLat + (maxLat - minLat) * k / n)) }
+        g += 45.0
+      }
+      g = math.ceil(minLat / 45.0) * 45.0
+      while (g <= maxLat) {
+        (0 to n).foreach { k => samples += ((minLon + (maxLon - minLon) * k / n, g)) }
+        g += 45.0
+      }
+      samples.toSeq.map { case (lo, la) =>
+        val (x, y, z) = S2Quad.xyzFromLonLat(lo, la)
+        val face = S2Quad.faceOf(x, y, z)
+        val (u, v) = S2Quad.uvOnFace(face, x, y, z)
+        (face, stToIj(uvToSt(u)) >> shift, stToIj(uvToSt(v)) >> shift)
+      }.groupBy(_._1).map { case (face, pts) =>
+        face -> (pts.map(_._2).min, pts.map(_._2).max,
+                 pts.map(_._3).min, pts.map(_._3).max)
+      }
     }
-    // u/v critical lines of the central projection can sit strictly inside
-    // the box (e.g. lon = 0 on the ±x faces): include the interior grid
-    // lines through multiples of 45° to capture them
-    var g = math.ceil(minLon / 45.0) * 45.0
-    while (g <= maxLon) {
-      (0 to n).foreach { k => samples += ((g, minLat + (maxLat - minLat) * k / n)) }
-      g += 45.0
-    }
-    g = math.ceil(minLat / 45.0) * 45.0
-    while (g <= maxLat) {
-      (0 to n).foreach { k => samples += ((minLon + (maxLon - minLon) * k / n, g)) }
-      g += 45.0
-    }
-    val byFace = samples.toSeq.map { case (lo, la) =>
-      val (x, y, z) = S2Quad.xyzFromLonLat(lo, la)
-      val face = S2Quad.faceOf(x, y, z)
-      val (u, v) = S2Quad.uvOnFace(face, x, y, z)
-      (face, stToIj(uvToSt(u)) >> shift, stToIj(uvToSt(v)) >> shift)
-    }.groupBy(_._1)
+    def extentOf(rects: Map[Int, (Int, Int, Int, Int)]): Int =
+      rects.values.map { case (i0, i1, j0, j1) => math.max(i1 - i0, j1 - j0) + 1 }.max
+
+    val first = facesRects(256)
+    val e1 = extentOf(first)
+    // re-sample at ~4 samples per boundary cell (cost-capped); then the
+    // residual secant-overshoot bound decides the pad
+    val m = math.min(1 << 14, math.max(256, Integer.highestOneBit(math.max(1, e1 - 1)) * 8))
+    val rects = if (m > 256) facesRects(m) else first
+    val e = extentOf(rects) + 4 // margin: the estimate itself may undershoot
+    val dev = 8.0 * e.toDouble * e / (m.toDouble * m) / (1L << level).toDouble
+    val pad = 1 + (if (dev < 0.5) 0 else math.ceil(dev).toInt)
+
     val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     val maxIdx = (1 << level) - 1
-    byFace.toSeq.sortBy(_._1).foreach { case (face, pts) =>
-      val i0 = math.max(0, pts.map(_._2).min - 1)
-      val i1 = math.min(maxIdx, pts.map(_._2).max + 1)
-      val j0 = math.max(0, pts.map(_._3).min - 1)
-      val j1 = math.min(maxIdx, pts.map(_._3).max + 1)
+    rects.toSeq.sortBy(_._1).foreach { case (face, (ri0, ri1, rj0, rj1)) =>
+      val i0 = math.max(0, ri0 - pad)
+      val i1 = math.min(maxIdx, ri1 + pad)
+      val j0 = math.max(0, rj0 - pad)
+      val j1 = math.min(maxIdx, rj1 + pad)
       require((i1 - i0 + 1).toLong * (j1 - j0 + 1) + out.size <= maxCells,
         s"coverBox would exceed $maxCells cells; use a coarser level")
       var i = i0
@@ -262,5 +290,82 @@ object S2U {
       }
     }
     out.distinct.toArray
+  }
+
+  /** The cell's 4 corners as (lon°, lat°) in CCW order (the published
+    * GetVertex order: (uLo,vLo) → (uHi,vLo) → (uHi,vHi) → (uLo,vHi)).
+    * Corners are EXACT uv-grid points, so two edge-adjacent same-level
+    * cells on one face share bit-identical corner coordinates. */
+  def cellCornersLonLat(id: Long): Array[(Double, Double)] = {
+    val lvl = level(id)
+    val shift = MaxLevel - lvl
+    val (face, li, lj) = toFaceIj(id)
+    val i0 = (li >>> shift).toLong << shift
+    val j0 = (lj >>> shift).toLong << shift
+    val size = 1L << shift
+    val uLo = stToUv(i0.toDouble / (1L << MaxLevel))
+    val uHi = stToUv((i0 + size).toDouble / (1L << MaxLevel))
+    val vLo = stToUv(j0.toDouble / (1L << MaxLevel))
+    val vHi = stToUv((j0 + size).toDouble / (1L << MaxLevel))
+    Array((uLo, vLo), (uHi, vLo), (uHi, vHi), (uLo, vHi)).map { case (u, v) =>
+      val (x, y, z) = S2Quad.xyzFromFaceUv(face, u, v)
+      S2Quad.lonLatFromXyz(x, y, z)
+    }
+  }
+
+  /** Conservative lat/lon rectangle bound of the cell: corner extremes
+    * padded by the great-circle edge bulge (an edge of angular length θ
+    * deviates from its endpoint chord by at most θ²/8 rad; face edges are
+    * ≤ 1.3 rad at level 0, halving per level). Longitude pad divides by
+    * cos(max |lat|); near-polar cells and cells CONTAINING a pole degrade
+    * to the full longitude range (sound). Returns (minLon, minLat,
+    * maxLon, maxLat); minLon > maxLon encodes an antimeridian-crossing
+    * cell. Used for polygon-intersection pruning — a conservative SUPERSET
+    * bound, so dropping cells whose rect misses the polygon is sound. */
+  def cellRectBound(id: Long): (Double, Double, Double, Double) = {
+    val lvl = level(id)
+    val corners = cellCornersLonLat(id)
+    val lats = corners.map(_._2)
+    val lons = corners.map(_._1)
+    val edgeRad = 1.3 / (1L << lvl).toDouble
+    val bulgeRad = edgeRad * edgeRad / 8.0
+    val bulgeDeg = math.toDegrees(bulgeRad)
+    val containsNorth = contains(id, lonLatToCell(0.0, 90.0))
+    val containsSouth = contains(id, lonLatToCell(0.0, -90.0))
+    val minLat = if (containsSouth) -90.0 else math.max(-90.0, lats.min - bulgeDeg)
+    val maxLat = if (containsNorth) 90.0 else math.min(90.0, lats.max + bulgeDeg)
+    val maxAbsLat = math.max(math.abs(minLat), math.abs(maxLat))
+    if (containsNorth || containsSouth || maxAbsLat > 89.5)
+      return (-180.0, minLat, 180.0, maxLat)
+    val lonPad = bulgeDeg / math.cos(math.toRadians(maxAbsLat))
+    // antimeridian: corner lons spread > 180° means the cell wraps
+    if (lons.max - lons.min > 180.0) {
+      val east = lons.filter(_ < 0).max + lonPad // wrapped east edge (negative side)
+      val west = lons.filter(_ >= 0).min - lonPad
+      (west, minLat, east, maxLat) // minLon > maxLon: wrapped
+    } else {
+      (math.max(-180.0, lons.min - lonPad), minLat,
+       math.min(180.0, lons.max + lonPad), maxLat)
+    }
+  }
+
+  /** Polygon covering: [[coverBox]] of the polygon's bbox, TIGHTENED by
+    * dropping cells whose conservative rect bound ([[cellRectBound]])
+    * misses the polygon — the s2u twin of the gh arm's exact
+    * rect∩polygon filter and H3U.polyfillPoly. Sound: the rect bound is a
+    * superset of the cell, so only cells that cannot intersect the
+    * polygon are dropped. Non-wrapped polygons. */
+  def coverPolygon(rings: Array[Array[Double]], level: Int,
+                   maxCells: Int = 1 << 20): Array[Long] = {
+    val outer = rings.head
+    val lons = outer.indices.collect { case i if i % 2 == 0 => outer(i) }
+    val lats = outer.indices.collect { case i if i % 2 == 1 => outer(i) }
+    coverBox(lons.min, lats.min, lons.max, lats.max, level, maxCells).filter { c =>
+      val (lo, la, hi, lb) = cellRectBound(c)
+      if (lo <= hi) GeoMath.rectIntersectsPolygon(lo, la, hi, lb, rings)
+      else // wrapped cell rect: split at the antimeridian, keep if either side hits
+        GeoMath.rectIntersectsPolygon(lo, la, 180.0, lb, rings) ||
+        GeoMath.rectIntersectsPolygon(-180.0, la, hi, lb, rings)
+    }
   }
 }

@@ -186,7 +186,8 @@ object SpatialOps {
                         qLon: Double, qLat: Double, k: Int, bits: Int, tieCol: String,
                         scanCells: Seq[Long] => DataFrame,
                         countCells: Seq[Long] => Long,
-                        totalRows: Long): DataFrame = {
+                        probeRows: () => Long,
+                        knownRows: Option[Long]): DataFrame = {
     val center = Geohash.encode(qLon, qLat, bits)
     val cellMin = math.min(Geohash.cellWidth(bits), Geohash.cellHeight(bits))
     val cx = Geohash.cellX(center, bits); val cy = Geohash.cellY(center, bits)
@@ -211,48 +212,102 @@ object SpatialOps {
     }
 
     knnExpandCore(spark, lonCol, latCol, qLon, qLat, k, tieCol,
-      ringCells, cellMin, math.max(nx, ny), scanCells, countCells, totalRows)
+      ringCells, cellMin, math.max(nx, ny), scanCells, countCells, probeRows, knownRows)
+  }
+
+  /** H3 gridDisk-shell generator for [[knnExpandCore]]: ring r = the cells
+    * at grid distance exactly r from `center`. FRONTIER BFS keeping only
+    * the last two disks: expanding neighbors of the frontier (not the
+    * whole disk) makes a full-lattice closure O(cells) work and O(cells)
+    * memory, where the old per-level disk list was O(rings x cells) both —
+    * a sphere-wide expansion at res 5+ (sparse antipodal rows) would
+    * otherwise hang the driver. Calls must come with non-decreasing r,
+    * which is knnExpandCore's access pattern. */
+  private def frontierRings(center: Long): Long => Seq[Long] = {
+    var prev = Set.empty[Long]
+    var cur = Set(center)
+    var curR = 0L
+    (r: Long) => {
+      require(r >= curR, s"ring calls must be non-decreasing (got $r after $curR)")
+      while (curR < r) {
+        val frontier = if (prev.isEmpty) cur else cur.diff(prev)
+        val next = cur ++ frontier.flatMap(graft.core.H3U.neighbors(_))
+        prev = cur; cur = next; curR += 1
+      }
+      if (r == 0) Seq(center) else cur.diff(prev).toSeq
+    }
   }
 
   /** Index-agnostic ring-expansion kNN core: grow rings until ≥k candidates
     * exist, extend to every ring intersecting the k-th-distance disc
     * (ring × cellMinDeg ≥ d guarantees coverage), exact top-k. The ring
     * generator and the per-ring minimum cell dimension (in the degree
-    * metric) come from the index (Morton grid rings or H3 gridDisk rings). */
+    * metric) come from the index (Morton grid rings or H3 gridDisk rings).
+    *
+    * `knownRows`: a FREE total-row bound when the index has one (the
+    * indexed variants sum the manifest's per-partition counts — zero Spark
+    * jobs). The in-plan variants pass None — a whole-corpus `count()` for
+    * a k-row answer would be a full 100 TB scan, so they rely on lattice
+    * exhaustion instead: when a doubling batch of rings adds NO new cells,
+    * the accumulated set has closed over the whole (wrapped/clipped) grid
+    * — both ring generators are monotone closures (geohash rings extend a
+    * contiguous wrapped column/row range; H3 disks are neighbor-closure
+    * fixpoints), so "no new cells" can only mean full coverage, and every
+    * existing row is already a candidate. */
   private def knnExpandCore(spark: org.apache.spark.sql.SparkSession,
                             lonCol: String, latCol: String,
                             qLon: Double, qLat: Double, k: Int, tieCol: String,
                             ringCells: Long => Seq[Long], cellMin: Double, maxRings: Long,
                             scanCells: Seq[Long] => DataFrame,
                             countCells: Seq[Long] => Long,
-                            totalRows: Long): DataFrame = {
+                            probeRows: () => Long,
+                            knownRows: Option[Long]): DataFrame = {
     import spark.implicits._
     var r = 0L
-    var accCells = Seq.empty[Long]
+    // insertion-ordered SET accumulator: per-ring `Seq ++ distinct` was
+    // O(acc) per ring, which turns grid-exhaustion cases into O(rings^3)
+    val acc = scala.collection.mutable.LinkedHashSet.empty[Long]
     var found = 0L
     // stop as soon as every existing row is found (k may exceed the table —
     // without this bound an empty table would expand ring-by-ring to the
-    // whole grid, one count job per ring)
-    val target = math.min(k.toLong, totalRows)
+    // whole grid, one count job per ring). knownRows bounds it for FREE on
+    // the indexed variants; the in-plan variants start unbounded and
+    // re-bound via probeRows (<= k rows read) only if expansion stalls.
+    var target = knownRows.map(t => math.min(k.toLong, t)).getOrElse(k.toLong)
+    var probed = knownRows.isDefined
     // ring batches DOUBLE between counts: for the in-plan variants each
     // count is a Spark job over the candidate scan, so growth must cost
     // O(log rings) jobs, not one job per ring (the over-expansion is at
     // most one doubling — extra cells only widen the exact final scan)
     var step = 1L
-    while (found < target && r < maxRings) {
+    var exhausted = false
+    while (found < target && r < maxRings && !exhausted) {
       val rEnd = math.min(r + step, maxRings)
+      val sizeBefore = acc.size
       while (r < rEnd) {
-        // distinct BEFORE counting: at coarse precisions wrapped ring cells
-        // can repeat, and manifest-count duplicates would stop expansion early
-        accCells = (accCells ++ ringCells(r)).distinct
+        acc ++= ringCells(r)
         r += 1
       }
-      found = countCells(accCells)
+      if (acc.size == sizeBefore) exhausted = true // grid closed over itself
+      else {
+        val prevFound = found
+        found = countCells(acc.toSeq)
+        if (!probed && found == prevFound && found < target) {
+          // expansion stalled below k: re-bound the target with ONE capped
+          // existence probe (LocalLimit reads at most k rows per partition
+          // and stops - never a whole-corpus count). If the table really
+          // has >= k rows the target is unchanged and this never re-fires;
+          // if it has fewer (incl. zero), the loop now exits as soon as
+          // every existing row is covered instead of walking the grid.
+          target = math.min(target, probeRows())
+          probed = true
+        }
+      }
       step *= 2
     }
     val dist = (col(lonCol) - qLon) * (col(lonCol) - qLon) +
                (col(latCol) - qLat) * (col(latCol) - qLat)
-    val kthRow = scanCells(accCells).select(dist.as("d")).orderBy($"d".asc).limit(k)
+    val kthRow = scanCells(acc.toSeq).select(dist.as("d")).orderBy($"d".asc).limit(k)
       .agg(max($"d")).collect()(0)
     // null k-th distance = no candidate rows at all (empty table / k > rows):
     // nothing more to find, skip the disc-coverage extension
@@ -260,13 +315,13 @@ object SpatialOps {
       if (kthRow.isNullAt(0)) r - 1
       else math.ceil(math.sqrt(kthRow.getDouble(0)) / cellMin).toLong + 1
     while (r <= needRings && r < maxRings) {
-      accCells = (accCells ++ ringCells(r)).distinct; r += 1
+      acc ++= ringCells(r); r += 1
     }
     // top-k as orderBy.limit(k) → TakeOrderedAndProject: a distributed
     // bounded heap per partition, NOT a single-partition window sort over
     // the full candidate scan (ring 0 of a hot-spot cell can hold millions
     // of rows at scale). The rank window then runs over ≤k survivors.
-    val topK = scanCells(accCells.distinct)
+    val topK = scanCells(acc.toSeq)
       .orderBy(dist.asc, col(tieCol).asc).limit(k)
     val w = Window.partitionBy(lit(1)).orderBy(dist.asc, col(tieCol).asc)
     topK.withColumn("rank", row_number().over(w))
@@ -287,7 +342,7 @@ object SpatialOps {
     def scan(cells: Seq[Long]): DataFrame =
       tiled.join(broadcast(cells.toDF("__cell")), "__cell")
     knnExpand(spark, lonCol, latCol, qLon, qLat, k, bits, tieCol,
-        scan, cells => scan(cells).count(), points.count())
+        scan, cells => scan(cells).count(), () => points.limit(k).count(), None)
       .withColumn("qid", lit(qid))
       .drop("__cell")
   }
@@ -304,13 +359,7 @@ object SpatialOps {
     val spark = points.sparkSession
     import spark.implicits._
     val center = graft.core.H3U.latLngToCell(qLat, qLon, res)
-    val disks = scala.collection.mutable.ArrayBuffer[Set[Long]](Set(center))
-    def h3Ring(r: Long): Seq[Long] = {
-      while (disks.length <= r)
-        disks += disks.last ++ disks.last.flatMap(graft.core.H3U.neighbors(_))
-      if (r == 0) Seq(center)
-      else (disks(r.toInt) -- disks(r.toInt - 1)).toSeq
-    }
+    val h3Ring = frontierRings(center)
     val cellMinDeg = math.toDegrees(graft.core.H3U.maxPitchRad(res)) * 0.6
     val maxRings = (math.Pi / (graft.core.H3U.maxPitchRad(res) * 0.6)).toLong + 2
     // no cache — see knnRing: O(log rings) count jobs re-encode in codegen
@@ -318,7 +367,8 @@ object SpatialOps {
     def scan(cells: Seq[Long]): DataFrame =
       keyed.join(broadcast(cells.toDF("__cell")), "__cell")
     knnExpandCore(spark, lonCol, latCol, qLon, qLat, k, tieCol,
-        h3Ring, cellMinDeg, maxRings, scan, cells => scan(cells).count(), points.count())
+        h3Ring, cellMinDeg, maxRings, scan, cells => scan(cells).count(),
+        () => points.limit(k).count(), None)
       .withColumn("qid", lit(qid))
       .drop("__cell")
   }
@@ -343,7 +393,7 @@ object SpatialOps {
         .where(col(prefixCol).isin(cells: _*))
     knnExpand(spark, lonCol, latCol, qLon, qLat, k, prefixBits, tieCol,
       scan, cells => cells.map(c => rowsByPartition.getOrElse(c.toString, 0L)).sum,
-      rowsByPartition.values.sum)
+      () => rowsByPartition.values.sum, Some(rowsByPartition.values.sum))
   }
 
   /** [[knnIndexed]] against an H3-TILED table ([[graft.data.IcebergLite
@@ -358,13 +408,7 @@ object SpatialOps {
       throw new IllegalStateException(s"no committed snapshot at $table"))
     val rowsByPartition: Map[String, Long] = graft.data.IcebergLite.rowsByPartition(manifest)
     val center = graft.core.H3U.latLngToCell(qLat, qLon, prefixRes)
-    val disks = scala.collection.mutable.ArrayBuffer[Set[Long]](Set(center))
-    def h3Ring(r: Long): Seq[Long] = {
-      while (disks.length <= r)
-        disks += disks.last ++ disks.last.flatMap(graft.core.H3U.neighbors(_))
-      if (r == 0) Seq(center)
-      else (disks(r.toInt) -- disks(r.toInt - 1)).toSeq
-    }
+    val h3Ring = frontierRings(center)
     val cellMinDeg = math.toDegrees(graft.core.H3U.maxPitchRad(prefixRes)) * 0.6
     val maxRings = (math.Pi / (graft.core.H3U.maxPitchRad(prefixRes) * 0.6)).toLong + 2
     def scan(cells: Seq[Long]): DataFrame =
@@ -373,16 +417,17 @@ object SpatialOps {
     knnExpandCore(spark, lonCol, latCol, qLon, qLat, k, tieCol,
       h3Ring, cellMinDeg, maxRings,
       scan, cells => cells.map(c => rowsByPartition.getOrElse(c.toString, 0L)).sum,
-      rowsByPartition.values.sum)
+      () => rowsByPartition.values.sum, Some(rowsByPartition.values.sum))
   }
 
   /** [[knnIndexedH3]] on an S2-TILED table ([[graft.data.IcebergLite
-    * .writeTiledS2]]): square (i, j) rings around the query cell, crossing
-    * face edges through the uv extension ([[graft.core.S2U
-    * .cellAtWrapped]]), counts from the manifest — zero Spark jobs until
-    * the final pruned scan. Exact: [[graft.core.S2U.minCellWidthDeg]]
-    * under-estimates every cell step, so the disc-coverage extension only
-    * ever over-expands. */
+    * .writeTiledS2]]): "ring" r is the [[graft.core.S2U.coverBox]] covering
+    * of the degree-metric box of half-width r·cellMin around the query —
+    * face-edge crossings are handled by the covering property itself, not
+    * by lattice walking — with counts from the manifest, so there are zero
+    * Spark jobs until the final pruned scan. Exact: [[graft.core.S2U
+    * .minCellWidthDeg]] under-estimates every cell step, so the
+    * disc-coverage extension only ever over-expands. */
   def knnIndexedS2(spark: org.apache.spark.sql.SparkSession, table: String,
                    prefixCol: String, prefixLevel: Int,
                    lonCol: String, latCol: String,
@@ -421,7 +466,7 @@ object SpatialOps {
     knnExpandCore(spark, lonCol, latCol, qLon, qLat, k, tieCol,
       s2Ring, cellMinDeg, maxRings,
       scan, cells => cells.map(c => rowsByPartition.getOrElse(c.toString, 0L)).sum,
-      rowsByPartition.values.sum)
+      () => rowsByPartition.values.sum, Some(rowsByPartition.values.sum))
   }
 
   /** Dense raster of per-cell counts over a box — the engine equivalent of

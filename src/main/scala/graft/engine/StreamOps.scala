@@ -216,6 +216,92 @@ object StreamOps {
     out
   }
 
+  final case class NearDupCand(doc_a: Long, doc_b: Long)
+  /** Per-band-bucket LSH state: `alive = false` marks a bucket that
+    * overflowed the cap (boilerplate signal — permanently muted, matching
+    * the batch BandBucketCap exclusion from the overflowing batch on). */
+  final case class BucketState(alive: Boolean, members: List[Long])
+
+  /** Streaming NEAR-dup candidate detection — the ingest-time form of the
+    * batch MinHash+LSH pipeline (q32): each arriving document's minhash
+    * signature is computed PER ROW (array_min over the affine hash family
+    * of its distinct shingles — no stateful aggregation), its band keys
+    * are exploded, and a per-(band, key) state holds the bucket's earlier
+    * members (capped at `bucketCap`, first-seen-wins). A new member emits
+    * candidate pairs against the stored members plus its same-batch bucket
+    * peers; a bucket that overflows the cap is muted permanently (the
+    * batch op EXCLUDES over-cap buckets as boilerplate — the streaming
+    * prefix keeps pairs already emitted, the honest incremental analogue).
+    *
+    * 100-TB posture: state is partitioned by (band, key) — each
+    * micro-batch shuffles only its own band rows, costs O(batch · bands)
+    * and holds ≤ cap ids per active bucket; no corpus re-scan, no
+    * unbounded state. Over a SINGLE static batch the emitted pair set
+    * equals [[TextOps.lshCandidates]] exactly (verified in
+    * EngineOpsSpec); exact-jaccard verification is a downstream batch
+    * join against the stored corpus (see q67). */
+  def streamedNearDupCandidates(spark: SparkSession, parquetPath: String,
+                                idCol: String, textCol: String,
+                                bucketCap: Int = TextOps.BandBucketCap,
+                                maxFilesPerTrigger: Int = 0): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.Column
+    val schema = spark.read.parquet(parquetPath).schema
+    val f = new java.io.File(parquetPath)
+    val (dir, glob) = if (f.isDirectory) (parquetPath, "*") else (f.getParent, f.getName)
+    var reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if (maxFilesPerTrigger > 0) reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val docs = reader.parquet(dir).select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    // per-row signature: the same affine family as minhashSignatures, but
+    // array_min over the shingle-hash array instead of a groupBy — the
+    // signature needs no shuffle, only the band buckets do
+    val withShingles = docs
+      .withColumn("_w", TextOps.tokens(col("text")))
+      .where(size(col("_w")) >= 3)
+      .withColumn("_h", transform(array_distinct(TextOps.shingles3(col("_w"))),
+        sh => TextOps.hash60(sh)))
+    val sigs: Seq[Column] = (0 until TextOps.MinhashK).map(i =>
+      array_min(transform(col("_h"), h => TextOps.affineHash(h, i))).as(s"s$i"))
+    val rowsPerBand = TextOps.MinhashK / TextOps.Bands
+    val signed = withShingles.select(col("doc_id") +: sigs: _*)
+    val bandKey = (b: Int) => concat_ws("_",
+      (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}").cast("string")): _*)
+    val bands = signed.select(col("doc_id"),
+      explode(array((0 until TextOps.Bands).map(b =>
+        struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
+      .select(col("bk.band").as("band"), col("bk.key").as("key"), col("doc_id"))
+      .as[(Int, String, Long)]
+    val cands = bands.groupByKey { case (band, key, _) => (band, key) }
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (_: (Int, String), rows: Iterator[(Int, String, Long)],
+         state: GroupState[BucketState]) => {
+          val newIds = rows.map(_._3).toArray.distinct.sorted
+          val st = state.getOption.getOrElse(BucketState(alive = true, Nil))
+          if (!st.alive) Iterator.empty
+          else if (st.members.size + newIds.length > bucketCap) {
+            state.update(BucketState(alive = false, Nil)) // boilerplate bucket
+            Iterator.empty
+          } else {
+            state.update(BucketState(alive = true, st.members ++ newIds.toList))
+            val cross = for (o <- st.members.iterator; n <- newIds.iterator)
+              yield NearDupCand(math.min(o, n), math.max(o, n))
+            val within = for {
+              i <- newIds.indices.iterator
+              j <- (i + 1 until newIds.length).iterator
+            } yield NearDupCand(newIds(i), newIds(j))
+            cross ++ within
+          }
+        })
+    val name = s"q67_out_${System.nanoTime()}"
+    val q = cands.writeStream.format("memory").queryName(name)
+      .outputMode("append").start()
+    try q.processAllAvailable() finally q.stop()
+    val out = spark.table(name).distinct() // a pair may surface from several bands
+      .localCheckpoint(true) // see streamedWindowAgg: drop the sink view
+    spark.catalog.dropTempView(name)
+    out
+  }
+
   // TIMESTAMP_NTZ columns (parquet timestamps without tz) map to
   // LocalDateTime in typed Datasets — keeping NTZ end-to-end matches the
   // naive timestamps the DuckDB oracle produces.

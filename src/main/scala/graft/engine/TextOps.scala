@@ -103,7 +103,15 @@ object TextOps {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = JaccardThreshold,
                       bucketCap: Int = BandBucketCap): DataFrame = {
-    val sh = shingleSet(docs, idCol, textCol).cache()
+    // DISK_ONLY, not MEMORY_AND_DISK: the exploded (doc, shingle) set is
+    // ~n_tokens rows per doc (≈10× the corpus in row count, comparable in
+    // bytes) and is consumed 3× (signatures, counts, intersection). At
+    // 100 TB of documents the shingle set is another ~100 TB — memory
+    // caching would evict/thrash every executor; serialized disk blocks
+    // cost one local write + three sequential local reads, no recompute
+    // of the explode, and zero executor-memory pressure.
+    val sh = shingleSet(docs, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val cand = lshCandidates(sh, idCol, bucketCap)
     val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val inter = cand
@@ -117,6 +125,75 @@ object TextOps {
       .withColumn("jaccard", j)
       .where(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter", "n_a", "n_b", "jaccard")
+  }
+
+  /** Near-dup CLUSTER RESOLUTION: connected components over candidate
+    * pairs → (doc_id, cluster_rep), cluster_rep = the component's MINIMUM
+    * doc id (deterministic representative — "keep one doc per cluster"
+    * keeps the rep). This is the step that turns [[minhashLshPairs]] /
+    * [[AnnOps.blockedNearDup]] PAIR sets into an actionable dedup verdict.
+    *
+    * Algorithm: alternating large-star / small-star (the MapReduce
+    * connected-components construction), O(log n) rounds on any graph —
+    * not min-label flooding, whose round count is the component DIAMETER
+    * (a 10⁶-doc boilerplate chain at 100 TB would flood for 10⁶ rounds).
+    * Each round is two shuffle joins; per-node neighbor mins come from a
+    * groupBy-min JOINED back (never collect_list — a hot node's neighbor
+    * set stays distributed). The driver carries only a convergence
+    * signature (count + order-insensitive hash sum); each round's edge set
+    * is localCheckpoint'ed to truncate lineage, the standard iterative-
+    * algorithm posture.
+    *
+    * Input: (doc_a, doc_b) candidate pairs, any orientation, dups fine.
+    * Output: one row per distinct doc id appearing in `pairs`
+    * (singletons never enter the pair set; their rep is trivially
+    * themselves — left-join the corpus against this result downstream). */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    // edges oriented big → small (u > v), self-loops dropped
+    var e = pairs
+      .select(greatest(col("doc_a"), col("doc_b")).as("u"),
+              least(col("doc_a"), col("doc_b")).as("v"))
+      .where(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    var prevSig = (-1L, -1L)
+    var converged = e.isEmpty
+    var rounds = 0
+    while (!converged && rounds < 64) {
+      // LARGE-STAR: for every node u (adjacency in BOTH directions),
+      // m = min(N(u) ∪ {u}); link every LARGER neighbor to m.
+      val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      val minsL = adj.groupBy("u").agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      val ls = adj.join(minsL, "u").where(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .union(e) // keep existing big→small links for small-star to fold
+        .distinct()
+      // SMALL-STAR: edges already point big → small; for every u,
+      // m = min of its smaller neighbors; link them (and u) to m.
+      val minsS = ls.groupBy("u").agg(min("v").as("m"))
+      val folded = ls.join(minsS, "u")
+      val ss = folded.select(col("v").as("u"), col("m").as("v"))
+        .union(folded.select(col("u"), col("m").as("v")))
+        .where(col("u") =!= col("v"))
+        .distinct()
+      val next = ss.localCheckpoint(true)
+      val sigRow = next.agg(
+        count(lit(1)),
+        coalesce(sum(hash(col("u"), col("v")).cast("long")), lit(0L))).head()
+      val sig = (sigRow.getLong(0), sigRow.getLong(1))
+      converged = sig == prevSig
+      prevSig = sig
+      e = next
+      rounds += 1
+    }
+    // converged edge set is a star forest: (member, component-min)
+    val members = e.select(col("u").as("doc_id"), col("v").as("cluster_rep"))
+    val roots = e.select(col("v").as("doc_id")).distinct()
+      .join(members.select("doc_id"), Seq("doc_id"), "left_anti")
+      .withColumn("cluster_rep", col("doc_id"))
+    members.union(roots)
   }
 
   /** 60-bit SimHash over the distinct unigram token set. */

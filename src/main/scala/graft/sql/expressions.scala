@@ -952,6 +952,29 @@ case class S2UCenter(child: Expression)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** s2u_boundary_wkt(id) → STRING — the cell's 4-corner polygon as WKT
+  * (lon lat order, CCW, closed ring) — SQL-surface parity with gh_bbox
+  * and h3u_boundary_wkt. Corners are exact uv-grid points, so adjacent
+  * same-level cells share identical vertex coordinates. */
+case class S2UBoundaryWkt(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "s2u_boundary_wkt"
+  override def nullSafeEval(id: Any): Any =
+    UTF8String.fromString(S2UBoundaryWkt.wkt(id.asInstanceOf[Long]))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, i =>
+      s"org.apache.spark.unsafe.types.UTF8String.fromString(graft.sql.S2UBoundaryWkt.wkt($i))")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+object S2UBoundaryWkt {
+  /** static form for codegen */
+  def wkt(id: Long): String = {
+    val b = graft.core.S2U.cellCornersLonLat(id)
+    val ring = (b :+ b.head).map { case (lon, lat) => s"$lon $lat" }.mkString(", ")
+    s"POLYGON (($ring))"
+  }
+}
+
 /** h3u_polyfill_wkt(wkt, res) → ARRAY<LONG> — polygonToCells: the
   * conservative polygon covering ([[graft.core.H3U.polyfillPoly]];
   * strictly tighter than the bbox polyfill for L-shaped polygons).

@@ -125,6 +125,8 @@ object GraftFunctions {
       (e: Seq[Expression]) => { require(e.length == 1, "s2u_level(id)"); S2ULevel(cL(e(0))) }),
     ("s2u_center", "s2u_center(id) - cell center STRUCT<lon, lat>",
       (e: Seq[Expression]) => { require(e.length == 1, "s2u_center(id)"); S2UCenter(cL(e(0))) }),
+    ("s2u_boundary_wkt", "s2u_boundary_wkt(id) - cell corner polygon as WKT",
+      (e: Seq[Expression]) => { require(e.length == 1, "s2u_boundary_wkt(id)"); S2UBoundaryWkt(cL(e(0))) }),
     ("h3u_token", "h3u_token(id) - canonical lowercase-hex H3 index string",
       (e: Seq[Expression]) => { require(e.length == 1, "h3u_token(id)"); H3UToken(cL(e(0))) }),
     ("h3u_is_pentagon", "h3u_is_pentagon(id) - true for the 12 pentagon lineages",
@@ -232,6 +234,7 @@ object functions {
   def s2u_parent(id: Column, level: Int): Column = call_function("s2u_parent", id, lit(level))
   def s2u_level(id: Column): Column = call_function("s2u_level", id)
   def s2u_center(id: Column): Column = call_function("s2u_center", id)
+  def s2u_boundary_wkt(id: Column): Column = call_function("s2u_boundary_wkt", id)
   def h3u_center(id: Column): Column = call_function("h3u_center", id)
   def h3u_parent(id: Column, parentRes: Int): Column =
     call_function("h3u_parent", id, lit(parentRes))

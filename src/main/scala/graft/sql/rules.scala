@@ -86,14 +86,13 @@ object DeriveCoveringPrune extends Rule[LogicalPlan] {
             lonAttr <- attrOf(l, lonName)
             latAttr <- attrOf(l, latName)
             prefixAttr <- attrOf(l, m.partitionCol)
-            if !conjuncts.exists { // already derived (fixed-point idempotency)
-              case In(a: AttributeReference, _) => a.semanticEquals(prefixAttr)
-              case InSet(a: AttributeReference, _) => a.semanticEquals(prefixAttr)
-              case _ => false
-            }
+            // already derived (fixed-point idempotency) — covers the plain
+            // IN, the compacted OR-of-INs, and INs over h3u_parent(prefix)
+            if !conjuncts.exists(isPrefixInShape(_, prefixAttr))
             box <- boundsOf(conjuncts, lonAttr, latAttr)
             cells <- coveringCells(m, box, bits, pipRingsOf(conjuncts, lonAttr, latAttr))
-            inList = In(prefixAttr, cells.toSeq.map(cellLiteral(_, prefixAttr))).asInstanceOf[Expression]
+            indexType = m.properties.getOrElse(graft.data.IcebergLite.PropIndexType, "gh")
+            inList = prunePredicate(indexType, cells, bits, prefixAttr)
           } yield Filter(And(cond, inList), l)).getOrElse(f)
         case None => f
       }
@@ -134,30 +133,60 @@ object DeriveCoveringPrune extends Rule[LogicalPlan] {
     val (minLon, minLat, maxLon, maxLat) = box
     indexType match {
       case "h3u" =>
+        def boxFill(cap: Int): Array[Long] =
+          if (minLon <= maxLon)
+            graft.core.H3U.polyfillBox(minLon, minLat, maxLon, maxLat, bits, cap)
+          else
+            (graft.core.H3U.polyfillBox(minLon, minLat, 180.0, maxLat, bits, cap) ++
+             graft.core.H3U.polyfillBox(-180.0, minLat, maxLon, maxLat, bits, cap)).distinct
+        // continent-sized regions: the uniform-res polyfill overflows
+        // MaxInCells, but an over-sampled BFS (memory-bounded at 16×)
+        // COMPACTED to mixed resolutions (H3U.compactCells, ~7× smaller
+        // per promoted level) often still fits — the IN-list then tests
+        // h3u_parent(prefix, res) per coarse level (see prunePredicate)
+        // instead of bailing to a full scan
+        def boxFillOrCompact(): Array[Long] =
+          try boxFill(MaxInCells)
+          catch { case _: IllegalArgumentException =>
+            val compacted = graft.core.H3U.compactCells(boxFill(MaxInCells * 16))
+            require(compacted.length <= MaxInCells,
+              s"compacted covering still exceeds $MaxInCells")
+            compacted
+          }
         try Some {
           pipRings match {
             // a PIP conjunct restricts rows to the polygon itself, so the
             // TRUE polygonToCells covering is sound and strictly tighter
-            // than the bbox polyfill for L-shaped / sparse polygons
+            // than the bbox polyfill for L-shaped / sparse polygons; if the
+            // polygon covering overflows MaxInCells, the bbox polyfill (a
+            // superset bound on the conjunction, still sound) may fit —
+            // fall back to it before giving up on the prune entirely
             case Some(rings) =>
-              graft.core.H3U.polyfillPoly(rings, bits, MaxInCells)
-            case None if minLon <= maxLon =>
-              graft.core.H3U.polyfillBox(minLon, minLat, maxLon, maxLat, bits, MaxInCells)
-            case None =>
-              (graft.core.H3U.polyfillBox(minLon, minLat, 180.0, maxLat, bits, MaxInCells) ++
-               graft.core.H3U.polyfillBox(-180.0, minLat, maxLon, maxLat, bits, MaxInCells)).distinct
+              try graft.core.H3U.polyfillPoly(rings, bits, MaxInCells)
+              catch { case _: IllegalArgumentException => boxFillOrCompact() }
+            case None => boxFillOrCompact()
           }
         } catch { case _: IllegalArgumentException => None } // covering too large
       case "s2u" =>
         // S2 hierarchy is exact (quadtree in (i,j)), so the prefix of any
         // in-box row's tile is its cell at the prefix level — covered by
-        // coverBox at that level
+        // coverBox at that level. A PIP conjunct restricts rows to the
+        // polygon itself, so dropping covering cells whose conservative
+        // rect bound misses the polygon (coverPolygon) is sound and
+        // strictly tighter for L-shaped/sparse polygons — parity with the
+        // gh rect-filter and h3u polyfillPoly arms.
         try Some {
-          if (minLon <= maxLon)
-            graft.core.S2U.coverBox(minLon, minLat, maxLon, maxLat, bits, MaxInCells)
-          else
-            (graft.core.S2U.coverBox(minLon, minLat, 180.0, maxLat, bits, MaxInCells) ++
-             graft.core.S2U.coverBox(-180.0, minLat, maxLon, maxLat, bits, MaxInCells)).distinct
+          pipRings match {
+            case Some(rings) if minLon <= maxLon =>
+              try graft.core.S2U.coverPolygon(rings, bits, MaxInCells)
+              catch { case _: IllegalArgumentException =>
+                graft.core.S2U.coverBox(minLon, minLat, maxLon, maxLat, bits, MaxInCells) }
+            case _ if minLon <= maxLon =>
+              graft.core.S2U.coverBox(minLon, minLat, maxLon, maxLat, bits, MaxInCells)
+            case _ =>
+              (graft.core.S2U.coverBox(minLon, minLat, 180.0, maxLat, bits, MaxInCells) ++
+               graft.core.S2U.coverBox(-180.0, minLat, maxLon, maxLat, bits, MaxInCells)).distinct
+          }
         } catch { case _: IllegalArgumentException => None }
       case _ =>
         val (_, cx, cy) = Geohash.gridProperties(minLon, minLat, maxLon, maxLat, bits)
@@ -180,6 +209,39 @@ object DeriveCoveringPrune extends Rule[LogicalPlan] {
 
   private def attrOf(l: LogicalRelation, name: String): Option[AttributeReference] =
     l.output.collectFirst { case a: AttributeReference if a.name == name => a }
+
+  /** Is `e` an IN-list (or OR of IN-lists) whose only input column is the
+    * prefix attribute — i.e. a predicate [[prunePredicate]] could have
+    * produced? Used for fixed-point idempotency. */
+  private def isPrefixInShape(e: Expression, attr: AttributeReference): Boolean = e match {
+    case In(x, _) => x.references.size == 1 && x.references.head.semanticEquals(attr)
+    case InSet(x, _) => x.references.size == 1 && x.references.head.semanticEquals(attr)
+    case Or(l, r) => isPrefixInShape(l, attr) && isPrefixInShape(r, attr)
+    case _ => false
+  }
+
+  /** The partition predicate for a covering. gh/s2u coverings are uniform
+    * (plain IN on the prefix column); an h3u covering may be COMPACTED to
+    * mixed resolutions, which becomes an OR of per-resolution INs —
+    * same-res cells test the column directly, coarser cells test
+    * `h3u_parent(prefix, res)` (deterministic over the partition column
+    * alone, so it still prunes at file-listing time). */
+  private def prunePredicate(indexType: String, cells: Array[Long], bits: Int,
+                             prefixAttr: AttributeReference): Expression = {
+    def plainIn(cs: Array[Long]): Expression =
+      In(prefixAttr, cs.toSeq.map(cellLiteral(_, prefixAttr)))
+    if (indexType != "h3u") plainIn(cells)
+    else {
+      val asLong: Expression = prefixAttr.dataType match {
+        case LongType => prefixAttr
+        case _ => Cast(prefixAttr, LongType)
+      }
+      cells.groupBy(graft.core.H3U.resolution).toSeq.sortBy(_._1).map { case (r, cs) =>
+        if (r == bits) plainIn(cs)
+        else In(H3UParent(asLong, Literal(r)), cs.toSeq.map(Literal(_)))
+      }.reduce(Or(_, _))
+    }
+  }
 
   private def cellLiteral(cell: Long, attr: AttributeReference): Expression = attr.dataType match {
     case LongType => Literal(cell)

@@ -355,4 +355,46 @@ class H3USpec extends AnyFunSuite {
       }
     }
   }
+
+  test("compact/uncompact: identity on polyfill coverings, minimal, pentagon-aware") {
+    // box coverings at res 4: compact must invert exactly under uncompact
+    val boxes = Seq((-10.0, 35.0, 20.0, 50.0), (100.0, -10.0, 130.0, 15.0),
+      (-80.0, 30.0, -60.0, 45.0))
+    boxes.foreach { case (lon0, lat0, lon1, lat1) =>
+      val fine = H3U.polyfillBox(lon0, lat0, lon1, lat1, 4, 1 << 20)
+      val compacted = H3U.compactCells(fine)
+      assert(compacted.length < fine.length,
+        s"compaction did not shrink: ${compacted.length} vs ${fine.length}")
+      assert(H3U.uncompactCells(compacted, 4).toSet == fine.toSet,
+        "uncompact(compact(S)) != S")
+      // minimality: no parent with a complete child set remains
+      val byParent = compacted.filter(H3U.resolution(_) > 0)
+        .groupBy(c => H3U.cellToParent(c, H3U.resolution(c) - 1))
+      byParent.foreach { case (parent, kids) =>
+        val sameRes = kids.filter(k => H3U.resolution(k) == H3U.resolution(kids.head))
+        val expected = if (H3U.isPentagon(parent)) 6 else 7
+        assert(sameRes.length < expected,
+          s"complete sibling set left uncompacted under ${java.lang.Long.toHexString(parent)}")
+      }
+      // no overlap: no cell's ancestor is also in the set
+      val set = compacted.toSet
+      compacted.foreach { c =>
+        (0 until H3U.resolution(c)).foreach { r =>
+          assert(!set(H3U.cellToParent(c, r)),
+            s"cell and its ancestor both in compacted set")
+        }
+      }
+    }
+    // a pentagon's full child set (6 children) compacts to the pentagon
+    val pent = H3U.res0Cells.filter(H3U.isPentagon).head
+    val pentChildren = H3U.cellToChildren(pent, 1)
+    assert(pentChildren.length == 6)
+    assert(H3U.compactCells(pentChildren).toSeq == Seq(pent))
+    // a hexagon's full child set (7) compacts to the hexagon
+    val hex = H3U.res0Cells.filterNot(H3U.isPentagon).head
+    assert(H3U.compactCells(H3U.cellToChildren(hex, 1)).toSeq == Seq(hex))
+    // an INCOMPLETE sibling set stays put
+    val partial = H3U.cellToChildren(hex, 1).drop(1)
+    assert(H3U.compactCells(partial).toSet == partial.toSet)
+  }
 }

@@ -134,4 +134,103 @@ class S2USpec extends AnyFunSuite {
       assert(big(S2U.lonLatToCellAt(lon, lat, 7)), s"($lon, $lat) not covered in big box")
     }
   }
+
+  test("coverBox: sound for LARGE-extent boxes near the maxCells limit (adaptive sampling)") {
+    // boxes spanning ~500-6000 cells per side: a fixed 256-sample pass
+    // with +-1 pad was UNSOUND here (secant overshoot of the ij boundary
+    // curves grows with (extent/samples)^2) - the adaptive pass must
+    // re-sample/pad enough that every interior point stays covered
+    val cases = Seq(
+      // (lon0, lat0, lon1, lat1, level)
+      (10.0, 20.0, 14.0, 20.02, 14),   // skinny wide box, ~730 cells/side
+      (-20.0, -0.01, 20.0, 0.01, 14),  // 40 deg long equatorial, ~4500 cells
+                                       // (mid-lat boxes this long overflow the
+                                       // per-face RECT near face corners - loose
+                                       // but sound; callers fall back coarser)
+      (40.0, 5.0, 50.0, 5.05, 14),     // crosses the lon-45 face edge
+      (-5.0, 40.0, 10.0, 55.0, 10),    // Europe box, ~270 cells/side
+      (120.0, 60.0, 179.0, 61.0, 10))  // high-lat long box (polar-face arc:
+                                       // its per-face rect is inherently wide,
+                                       // so a coarser level keeps it in-budget
+    val rnd = new scala.util.Random(83)
+    cases.foreach { case (lon0, lat0, lon1, lat1, level) =>
+      val cells = S2U.coverBox(lon0, lat0, lon1, lat1, level).toSet
+      (1 to 2000).foreach { _ =>
+        val lon = lon0 + rnd.nextDouble() * (lon1 - lon0)
+        val lat = lat0 + rnd.nextDouble() * (lat1 - lat0)
+        assert(cells(S2U.lonLatToCellAt(lon, lat, level)),
+          s"($lon, $lat) not covered by ($lon0,$lat0,$lon1,$lat1) at level $level")
+      }
+    }
+  }
+
+  test("cellCornersLonLat: adjacent same-level cells share exact corner coordinates") {
+    val rnd = new scala.util.Random(89)
+    (1 to 200).foreach { _ =>
+      val level = 1 + rnd.nextInt(14)
+      val face = rnd.nextInt(6)
+      val n = 1 << level
+      val i = rnd.nextInt(n - 1) // leave room for the east neighbor
+      val j = rnd.nextInt(n)
+      val shift = S2U.MaxLevel - level
+      val a = S2U.parent(S2U.fromFaceIj(face, i << shift, j << shift), level)
+      val b = S2U.parent(S2U.fromFaceIj(face, (i + 1) << shift, j << shift), level)
+      val ca = S2U.cellCornersLonLat(a).toSet
+      val cb = S2U.cellCornersLonLat(b).toSet
+      assert((ca & cb).size == 2,
+        s"face=$face i=$i j=$j level=$level shared=${(ca & cb).size}")
+    }
+  }
+
+  test("cellRectBound: conservative - random interior points stay inside the rect") {
+    val rnd = new scala.util.Random(101)
+    (1 to 300).foreach { _ =>
+      val level = rnd.nextInt(13)
+      val face = rnd.nextInt(6)
+      val n = 1 << level
+      val i = rnd.nextInt(n); val j = rnd.nextInt(n)
+      val shift = S2U.MaxLevel - level
+      val id = S2U.parent(S2U.fromFaceIj(face, i << shift, j << shift), level)
+      val (lo, la, hi, lb) = S2U.cellRectBound(id)
+      (1 to 30).foreach { _ =>
+        // random leaf inside the cell -> its center point is inside the cell
+        val di = rnd.nextLong(1L << shift); val dj = rnd.nextLong(1L << shift)
+        val leaf = S2U.fromFaceIj(face, ((i.toLong << shift) + di).toInt,
+          ((j.toLong << shift) + dj).toInt)
+        val (plon, plat) = S2U.centerLonLat(leaf)
+        assert(plat >= la - 1e-9 && plat <= lb + 1e-9,
+          s"lat $plat outside [$la, $lb] for level=$level face=$face")
+        val lonOk =
+          if (lo <= hi) plon >= lo - 1e-9 && plon <= hi + 1e-9
+          else plon >= lo - 1e-9 || plon <= hi + 1e-9 // wrapped rect
+        assert(lonOk, s"lon $plon outside [$lo, $hi] (wrapped=${lo > hi}) level=$level")
+      }
+    }
+    // pole cells degrade to the full longitude range
+    val polar = S2U.lonLatToCellAt(0.0, 90.0, 4)
+    val (plo, _, phi, pla) = S2U.cellRectBound(polar)
+    assert(plo == -180.0 && phi == 180.0 && pla == 90.0)
+  }
+
+  test("coverPolygon: sound and strictly tighter than coverBox for an L-shape") {
+    val wkt = "POLYGON ((-5.0 40.0, 10.0 40.0, 10.0 44.0, -1.0 44.0, -1.0 55.0, -5.0 55.0, -5.0 40.0))"
+    val rings = GeoMath.parseWktPolygon(wkt)
+    val level = 9
+    val poly = S2U.coverPolygon(rings, level)
+    val box = S2U.coverBox(-5.0, 40.0, 10.0, 55.0, level)
+    assert(poly.length < box.length,
+      s"coverPolygon (${poly.length}) not tighter than coverBox (${box.length})")
+    val cells = poly.toSet
+    val rnd = new scala.util.Random(103)
+    var checked = 0
+    while (checked < 1500) {
+      val lon = -5.0 + rnd.nextDouble() * 15.0
+      val lat = 40.0 + rnd.nextDouble() * 15.0
+      if (GeoMath.pointInPolygon(lon, lat, rings)) {
+        assert(cells(S2U.lonLatToCellAt(lon, lat, level)),
+          s"in-polygon point ($lon, $lat) not covered")
+        checked += 1
+      }
+    }
+  }
 }

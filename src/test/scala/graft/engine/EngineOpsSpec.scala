@@ -248,6 +248,48 @@ class EngineOpsSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batchCounts).isEmpty && batchCounts.exceptAll(streamed).isEmpty)
   }
 
+  test("streamedNearDupCandidates: single batch == batch lshCandidates; state spans batches") {
+    import spark.implicits._
+    val docsPath = "/root/testdata/sf0.001/documents.parquet"
+    val docs = spark.read.parquet(docsPath)
+    // (a) ONE static batch: candidate set == the batch LSH candidate set
+    val streamed = StreamOps.streamedNearDupCandidates(spark, docsPath, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    val batch = TextOps.lshCandidates(
+        TextOps.shingleSet(docs, "doc_id", "text"), "doc_id")
+      .as[(Long, Long)].collect().toSet
+    assert(streamed == batch, s"extra=${streamed -- batch} missing=${batch -- streamed}")
+    assert(streamed.nonEmpty, "fixture should yield candidate pairs")
+    // (b) TWO micro-batches: pairs whose members arrive in different
+    // batches still surface (bucket state carries across batches)
+    val dir = java.nio.file.Files.createTempDirectory("stream_neardup").toString
+    val rows = docs.select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val (b1, b2) = rows.splitAt(rows.length / 2)
+    b1.toSeq.toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/in")
+    Thread.sleep(1100)
+    b2.toSeq.toDF("doc_id", "text").coalesce(1).write.mode("append").parquet(s"$dir/in")
+    val twoBatch = StreamOps.streamedNearDupCandidates(spark, s"$dir/in", "doc_id", "text",
+        maxFilesPerTrigger = 1)
+      .as[(Long, Long)].collect().toSet
+    assert(twoBatch == batch,
+      s"2-batch run diverged: extra=${twoBatch -- batch} missing=${batch -- twoBatch}")
+    val cut = b1.last._1
+    assert(batch.exists { case (a, b) => a <= cut && b > cut },
+      "fixture has no cross-batch pair; split point needs adjusting")
+  }
+
+  test("streamedNearDupCandidates: over-cap bucket is muted (boilerplate semantics)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("stream_neardup_cap").toString
+    // cap+2 docs with IDENTICAL text: every band bucket overflows, so the
+    // batch op excludes them and the stream must emit nothing either
+    val n = TextOps.BandBucketCap + 2
+    (1 to n).map(i => (i.toLong, "lorem ipsum dolor sit amet consectetur"))
+      .toDF("doc_id", "text").coalesce(1).write.parquet(s"$dir/in")
+    val got = StreamOps.streamedNearDupCandidates(spark, s"$dir/in", "doc_id", "text")
+    assert(got.isEmpty, "over-cap bucket must be excluded, matching BandBucketCap")
+  }
+
   test("streamedDedup: first batch wins per fingerprint, later duplicates swallowed") {
     val dir = java.nio.file.Files.createTempDirectory("stream_dedup").toString
     import spark.implicits._

@@ -275,6 +275,60 @@ class PlanSpec extends AnyFunSuite {
       "window must sit ABOVE the TakeOrderedAndProject candidate top-k")
   }
 
+  test("knnRing/knnRingH3: expansion runs NO unfiltered whole-table count job") {
+    // at 100 TB a bare points.count() is a full-corpus scan for a k-row
+    // answer; every count the expansion runs must be over the broadcast
+    // cell join (candidate cells only), with at most a LIMIT-capped
+    // existence probe (reads <= k rows) as the stall fallback
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String, qe: QueryExecution, e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val pts = SpatialOps.withDerivedPosition(
+        spark.read.parquet(s"$sf/customer.parquet").select("c_custkey"), "c_custkey")
+      // res/bits chosen for the fixture's density: sf0.001 has 150 rows,
+      // the 10th-nearest neighbor is ~25 deg out, so the exact
+      // disc-coverage extension needs rings spanning that radius — fine
+      // cells (res 7) would mean millions of ring cells for this k
+      SpatialOps.knnRing(pts, "lon", "lat", 1, -0.75, 51.25, 10, 12, "c_custkey").collect()
+      SpatialOps.knnRingH3(pts, "lon", "lat", 1, -0.75, 51.25, 10, 3, "c_custkey").collect()
+      // QueryExecutionListener delivery is async: wait for the queue to settle
+      var last = -1
+      var stable = 0
+      while (stable < 3) {
+        Thread.sleep(200)
+        if (plans.size == last) stable += 1 else { stable = 0; last = plans.size }
+      }
+      import scala.jdk.CollectionConverters._
+      val captured = plans.iterator().asScala.toSeq
+      assert(captured.nonEmpty, "listener captured no plans")
+      val countPlans = captured.filter(p => p.contains("count(1)") || p.contains("count(L)"))
+      assert(countPlans.nonEmpty, "expansion should run at least one count job")
+      countPlans.foreach { p =>
+        val filteredByCells = p.contains("BroadcastHashJoin") && p.contains("__cell")
+        val cappedProbe = p.contains("Limit") || p.contains("CollectLimit")
+        assert(filteredByCells || cappedProbe,
+          s"unfiltered whole-table count in kNN expansion:\n$p")
+      }
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("knnRing: k > table rows terminates via capped probe and returns all rows") {
+    import spark.implicits._
+    val three = SpatialOps.withDerivedPosition(
+      spark.read.parquet(s"$sf/customer.parquet").select("c_custkey").limit(3), "c_custkey")
+    // res 3 keeps the worst case (rings close over the whole ~41k-cell
+    // lattice before the probe-bounded target is met) driver-cheap
+    val got = SpatialOps.knnRingH3(three, "lon", "lat", 0, -0.75, 51.25, 50, 3, "c_custkey")
+    assert(got.count() == 3)
+  }
+
   test("IcebergLite.read: visibility is path listing, constant-size as snapshots grow") {
     import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter}
     val dir = java.nio.file.Files.createTempDirectory("snap_flat").toString
@@ -465,6 +519,72 @@ class PlanSpec extends AnyFunSuite {
     assert(q.select("c_custkey").exceptAll(expect).isEmpty &&
            expect.exceptAll(q.select("c_custkey")).isEmpty,
       "polygon polyfill prune changed results")
+    assert(q.count() > 0)
+  }
+
+  test("DeriveCoveringPrune: S2 L-shaped PIP derives coverPolygon, tighter than coverBox") {
+    val dir = java.nio.file.Files.createTempDirectory("s2_poly_prune").toString
+    val pts = SpatialOps.withDerivedPosition(
+      spark.read.parquet("/root/testdata/sf0.01/customer.parquet").select("c_custkey"), "c_custkey")
+    graft.data.IcebergLite.writeTiledS2(pts, s"$dir/t", "lon", "lat", 12, 7)
+    val tbl = graft.data.IcebergLite.read(spark, s"$dir/t")
+    val lWkt = "POLYGON ((-5.0 40.0, 10.0 40.0, 10.0 44.0, -1.0 44.0, -1.0 55.0, -5.0 55.0, -5.0 40.0))"
+    val q = tbl.where(gf.st_contains_wkt(lit(lWkt), $"lon", $"lat"))
+    val inCells = q.queryExecution.optimizedPlan.collect {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(cond, _) =>
+        cond.collect {
+          case org.apache.spark.sql.catalyst.expressions.In(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference, list)
+            if a.name == "tile_p" => list.length
+          case org.apache.spark.sql.catalyst.expressions.InSet(
+            a: org.apache.spark.sql.catalyst.expressions.AttributeReference, set)
+            if a.name == "tile_p" => set.size
+        }
+    }.flatten
+    assert(inCells.nonEmpty, "no derived IN-list on tile_p")
+    val rings = graft.core.GeoMath.parseWktPolygon(lWkt)
+    val polyCells = graft.core.S2U.coverPolygon(rings, 7).length
+    val bboxCells = graft.core.S2U.coverBox(-5.0, 40.0, 10.0, 55.0, 7).length
+    assert(polyCells < bboxCells,
+      s"coverPolygon ($polyCells) not tighter than coverBox ($bboxCells) for the L-shape")
+    assert(inCells.head == polyCells,
+      s"derived IN-list (${inCells.head}) != coverPolygon ($polyCells)")
+    val expect = pts.where(gf.st_contains_wkt(lit(lWkt), $"lon", $"lat")).select("c_custkey")
+    assert(q.select("c_custkey").exceptAll(expect).isEmpty &&
+           expect.exceptAll(q.select("c_custkey")).isEmpty,
+      "s2u polygon-tightened prune changed results")
+    assert(q.count() > 0)
+  }
+
+  test("DeriveCoveringPrune: continent-sized box over H3 tiling uses a COMPACTED covering") {
+    val dir = java.nio.file.Files.createTempDirectory("h3_compact_prune").toString
+    val pts = SpatialOps.withDerivedPosition(
+      spark.read.parquet("/root/testdata/sf0.01/customer.parquet").select("c_custkey"), "c_custkey")
+    graft.data.IcebergLite.writeTiledH3(pts, s"$dir/t", "lon", "lat", 7, 5)
+    val tbl = graft.data.IcebergLite.read(spark, s"$dir/t")
+    // Europe-sized box: its uniform res-5 polyfill exceeds MaxInCells
+    // (pre-compaction this bailed to a FULL SCAN), the compacted
+    // mixed-resolution covering fits
+    val box = BBox(-10.0, 35.0, 20.0, 50.0)
+    val uniform = graft.core.H3U.polyfillBox(
+      box.minLon, box.minLat, box.maxLon, box.maxLat, 5, 1 << 20)
+    assert(uniform.length > graft.sql.DeriveCoveringPrune.MaxInCells,
+      s"fixture box too small to exercise compaction: ${uniform.length}")
+    val compacted = graft.core.H3U.compactCells(uniform)
+    assert(compacted.length <= graft.sql.DeriveCoveringPrune.MaxInCells,
+      s"compacted covering too big for the IN-list: ${compacted.length}")
+    val q = tbl.where($"lon" >= box.minLon && $"lon" <= box.maxLon &&
+                      $"lat" >= box.minLat && $"lat" <= box.maxLat)
+    val pf = q.queryExecution.executedPlan.toString.linesIterator
+      .find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("tile_p#"), s"no compacted prune derived: $pf")
+    assert(pf.contains("h3u_parent"), s"compacted prune should test h3u_parent: $pf")
+    val expect = pts.where($"lon" >= box.minLon && $"lon" <= box.maxLon &&
+                           $"lat" >= box.minLat && $"lat" <= box.maxLat)
+      .select("c_custkey")
+    assert(q.select("c_custkey").exceptAll(expect).isEmpty &&
+           expect.exceptAll(q.select("c_custkey")).isEmpty,
+      "compacted prune changed results")
     assert(q.count() > 0)
   }
 

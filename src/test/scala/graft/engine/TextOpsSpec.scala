@@ -112,6 +112,42 @@ class TextOpsSpec extends AnyFunSuite {
     assert(buckets > 4, s"SRP bucketing degenerate: $buckets buckets")
   }
 
+  test("dedupClusters: components resolve to min-id reps (chain, clique, star, big path)") {
+    import spark.implicits._
+    // chain 1-2-3; clique {10,11,12}; star 20-{21,22,23}; 40-node path
+    // (exercises multiple large/small-star rounds: min-label flooding
+    // would need 40 rounds, star contraction O(log)); reversed/dup pairs
+    val pairs = (Seq((2L, 1L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L),
+      (20L, 21L), (20L, 22L), (23L, 20L), (2L, 3L)) ++
+      (100L until 139L).map(i => (i + 1, i))).toDF("doc_a", "doc_b")
+    val got = TextOps.dedupClusters(pairs).as[(Long, Long)].collect().toMap
+    val expected =
+      Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L,
+        20L -> 20L, 21L -> 20L, 22L -> 20L, 23L -> 20L).toMap ++
+      (100L to 139L).map(_ -> 100L).toMap
+    assert(got == expected)
+  }
+
+  test("dedupClusters: q32 pair set matches driver-side union-find") {
+    import spark.implicits._
+    val pairs = TextOps.minhashLshPairs(
+        spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
+      .select("doc_a", "doc_b")
+    val got = TextOps.dedupClusters(pairs).as[(Long, Long)].collect().toMap
+    // independent driver-side union-find oracle
+    val edges = pairs.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = { val p = parent.getOrElse(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val expected = nodes.map(n => n -> find(n)).toMap
+    assert(got == expected)
+    assert(got.nonEmpty)
+  }
+
   test("simhash: near-dup pairs have small hamming distance, random pairs large") {
     val sim = TextOps.simhash60(
         spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")

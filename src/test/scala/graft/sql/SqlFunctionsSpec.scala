@@ -173,6 +173,26 @@ class SqlFunctionsSpec extends AnyFunSuite {
     assert(cells.nonEmpty)
   }
 
+  test("s2u_boundary_wkt: valid closed CCW ring containing the cell center") {
+    import graft.core.{S2U, GeoMath}
+    val rows = pts.withColumn("s2", gf.s2u_cell($"lon", $"lat", 10))
+      .withColumn("wkt", gf.s2u_boundary_wkt($"s2"))
+      .select("s2", "wkt").collect()
+    rows.foreach { r =>
+      val id = r.getLong(0); val wkt = r.getString(1)
+      val rings = GeoMath.parseWktPolygon(wkt)
+      assert(rings.length == 1 && rings.head.length == 10, wkt) // 4 corners + close, lon/lat pairs
+      // vertices match the core corner math exactly
+      val corners = S2U.cellCornersLonLat(id)
+      val parsed = rings.head.grouped(2).map(a => (a(0), a(1))).toArray
+      assert(parsed.take(4).toSeq == corners.toSeq, wkt)
+      // the planar PIP test contains the center for non-degenerate cells
+      val (clon, clat) = S2U.centerLonLat(id)
+      if (corners.map(_._1).max - corners.map(_._1).min < 180.0)
+        assert(GeoMath.pointInPolygon(clon, clat, rings), s"center not inside $wkt")
+    }
+  }
+
   test("explain: gh_encode stays inside WholeStageCodegen") {
     val df = spark.range(100).select(
       ($"id" % 360 - 180).cast("double").as("lon"), ($"id" % 170 - 85).cast("double").as("lat"))
