@@ -218,6 +218,25 @@ object OracleSql {
        | SELECT v AS doc_id, min(r) AS cluster_rep FROM _reach GROUP BY v""".stripMargin.replace("\n", " ")
   }
 
+  /** Keep-one-per-cluster dedup (TextOps.dedupKeepRepresentatives over
+    * the LSH pair set): every doc whose transitive-closure min is itself
+    * (or which is in no pair) survives. */
+  def dedupKeepDuck(table: String, idCol: String, textCol: String,
+                    k: Int, bands: Int, threshold: Double, bucketCap: Int): String = {
+    val (ctes, sel) = minhashLshParts(table, idCol, textCol, k, bands, threshold, bucketCap)
+    s"""WITH RECURSIVE $ctes,
+       | _p AS ($sel),
+       | _nodes AS (SELECT doc_a AS v FROM _p UNION SELECT doc_b FROM _p),
+       | _e AS (SELECT doc_a AS a, doc_b AS b FROM _p UNION SELECT doc_b, doc_a FROM _p),
+       | _reach(v, r) AS (
+       |   SELECT v, v FROM _nodes
+       |   UNION
+       |   SELECT _e.b, _reach.r FROM _reach JOIN _e ON _e.a = _reach.v),
+       | _rep AS (SELECT v, min(r) AS rep FROM _reach GROUP BY v)
+       | SELECT d.$idCol AS doc_id FROM $table d LEFT JOIN _rep ON d.$idCol = _rep.v
+       | WHERE _rep.rep IS NULL OR _rep.rep = d.$idCol""".stripMargin.replace("\n", " ")
+  }
+
   /** (CTE chain, final SELECT) of the LSH pair query — shared by
     * [[minhashLshDuck]] and the closure wrapper [[dedupClustersDuck]]. */
   def minhashLshParts(table: String, idCol: String, textCol: String,

@@ -458,6 +458,15 @@ object SparkEntry {
         graft.engine.TextOps.minhashLshPairs(docs, "doc_id", "text")
           .select("doc_a", "doc_b"))
     },
+    "q68_dedup_keep" -> gq { (s, dir) =>
+      // the pipeline's final verdict: one surviving doc per near-dup
+      // cluster (min-id representative), untouched singletons kept
+      val docs = ld(s, dir, "documents")
+      graft.engine.TextOps.dedupKeepRepresentatives(docs, "doc_id",
+          graft.engine.TextOps.minhashLshPairs(docs, "doc_id", "text")
+            .select("doc_a", "doc_b"))
+        .select("doc_id")
+    },
     "q33_simhash" -> gq { (s, dir) =>
       graft.engine.TextOps.simhash60(ld(s, dir, "documents"), "doc_id", "text")
     },
@@ -829,6 +838,10 @@ object SparkEntry {
           graft.engine.TextOps.JaccardThreshold, graft.engine.TextOps.BandBucketCap),
       "q65_dedup_clusters" ->
         dedupClustersDuck("documents", "doc_id", "text",
+          graft.engine.TextOps.MinhashK, graft.engine.TextOps.Bands,
+          graft.engine.TextOps.JaccardThreshold, graft.engine.TextOps.BandBucketCap),
+      "q68_dedup_keep" ->
+        dedupKeepDuck("documents", "doc_id", "text",
           graft.engine.TextOps.MinhashK, graft.engine.TextOps.Bands,
           graft.engine.TextOps.JaccardThreshold, graft.engine.TextOps.BandBucketCap),
       "q33_simhash" -> simhashDuck("documents", "doc_id", "text"),

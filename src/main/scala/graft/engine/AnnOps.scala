@@ -132,9 +132,12 @@ object AnnOps {
       val qd2 = aggregate(
         zip_with(qlit, col("_cvec").cast("array<double>"), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
+      // nCentroids rows total, so a driver-wide window is harmless — the
+      // constant partition key just keeps the "No Partition Defined"
+      // degradation warning out of every bench/verify log
       val probes = cents.withColumn("_qd2", qd2)
         .withColumn("_prk", row_number().over(
-          Window.orderBy(col("_qd2").asc, col("cent_id").asc)))
+          Window.partitionBy(lit(1)).orderBy(col("_qd2").asc, col("cent_id").asc)))
         .where(col("_prk") <= nProbe)
         .select("cent_id")
       val cos = (dotConst(embCol, qv) / (col("_n") * lit(qn))).as("cosine")

@@ -196,6 +196,19 @@ object TextOps {
     members.union(roots)
   }
 
+  /** End of the near-dup pipeline: KEEP one document per cluster. Drops
+    * every doc that belongs to a pair-cluster and is not its (min-id)
+    * representative; docs in no pair are kept untouched. The drop set is
+    * tiny relative to the corpus (only clustered non-reps), so the
+    * anti-join broadcasts under AQE at any corpus scale. */
+  def dedupKeepRepresentatives(docs: DataFrame, idCol: String,
+                               pairs: DataFrame): DataFrame = {
+    val drop = dedupClusters(pairs)
+      .where(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id").as(idCol))
+    docs.join(drop, Seq(idCol), "left_anti")
+  }
+
   /** 60-bit SimHash over the distinct unigram token set. */
   def simhash60(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = docs.select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("t"))

@@ -148,6 +148,15 @@ class TextOpsSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("dedupKeepRepresentatives: one survivor per cluster, singletons untouched") {
+    import spark.implicits._
+    val docs = (1L to 6L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_a", "doc_b")
+    val kept = TextOps.dedupKeepRepresentatives(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L)) // reps 1 and 5 survive; singleton 4 kept
+  }
+
   test("simhash: near-dup pairs have small hamming distance, random pairs large") {
     val sim = TextOps.simhash60(
         spark.read.parquet(s"$sf/documents.parquet"), "doc_id", "text")
