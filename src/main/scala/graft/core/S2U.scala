@@ -205,8 +205,10 @@ object S2U {
 
   /** Conservative covering of a lon/lat box at `level` (same contract as
     * Geohash.covering / H3U.polyfillBox: a superset; callers refine
-    * exactly). The box boundary is sampled densely; each touched face
-    * contributes the padded (i, j) rectangle of its samples at `level`.
+    * exactly). The box is split into slices along its longer dimension
+    * (~64 cells per slice — see the body comment) and each slice's
+    * boundary is sampled densely; each touched face contributes the
+    * padded (i, j) rectangle of the slice's samples at `level`.
     * Extremes of the smooth uv maps over the closed box lie on its
     * boundary; inter-sample deviation is absorbed by ADAPTIVE sampling +
     * padding: a first 256-sample pass estimates the box extent E in cells
@@ -222,74 +224,118 @@ object S2U {
                level: Int, maxCells: Int = 1 << 20): Array[Long] = {
     require(minLon <= maxLon && minLat <= maxLat, "coverBox needs a non-wrapped box")
     require(level >= 0 && level <= MaxLevel, s"level $level")
-    val shift = MaxLevel - level
-
-    /** One sampling pass: per touched face, the raw (unpadded) (i, j)
-      * rectangle of the boundary samples at `level`. */
-    def facesRects(n: Int): Map[Int, (Int, Int, Int, Int)] = {
-      val samples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
-      (0 to n).foreach { k =>
-        val fLon = minLon + (maxLon - minLon) * k / n
-        val fLat = minLat + (maxLat - minLat) * k / n
-        samples += ((fLon, minLat)); samples += ((fLon, maxLat))
-        samples += ((minLon, fLat)); samples += ((maxLon, fLat))
+    // SLICED covering: one bounding rect per face hugs a long box badly
+    // (constant-lat curves bend hard in v near face corners - a 30-deg
+    // mid-latitude box's single rect can be 100x the true cell band and
+    // overflow maxCells). Splitting the longer geographic dimension into
+    // ~64-cell-wide slices and unioning per-slice rects follows the curve:
+    // each slice's rect is (slice width) x (band height + within-slice
+    // curve drop), so total looseness is bounded by the curve SLOPE per
+    // slice instead of its total variation. Slice boundaries dedup via
+    // the shared accumulator; soundness per slice is the rect argument.
+    val acc = scala.collection.mutable.LinkedHashSet.empty[Long]
+    val e1 = {
+      val r = facesRectsOf(minLon, minLat, maxLon, maxLat, level, 64)
+      r.values.map { case (i0, i1, j0, j1) => math.max(i1 - i0, j1 - j0) + 1 }.max
+    }
+    val nSlices = math.min(256, math.max(1, e1 / 32))
+    if (nSlices <= 1) coverBoxRect(minLon, minLat, maxLon, maxLat, level, acc, maxCells)
+    else if (maxLon - minLon >= maxLat - minLat) {
+      var k = 0
+      while (k < nSlices) {
+        val a = minLon + (maxLon - minLon) * k / nSlices
+        val b = minLon + (maxLon - minLon) * (k + 1) / nSlices
+        coverBoxRect(a, minLat, b, maxLat, level, acc, maxCells)
+        k += 1
       }
-      // u/v critical lines of the central projection can sit strictly
-      // inside the box (e.g. lon = 0 on the ±x faces): include the
-      // interior grid lines through multiples of 45° to capture them
-      var g = math.ceil(minLon / 45.0) * 45.0
-      while (g <= maxLon) {
-        (0 to n).foreach { k => samples += ((g, minLat + (maxLat - minLat) * k / n)) }
-        g += 45.0
-      }
-      g = math.ceil(minLat / 45.0) * 45.0
-      while (g <= maxLat) {
-        (0 to n).foreach { k => samples += ((minLon + (maxLon - minLon) * k / n, g)) }
-        g += 45.0
-      }
-      samples.toSeq.map { case (lo, la) =>
-        val (x, y, z) = S2Quad.xyzFromLonLat(lo, la)
-        val face = S2Quad.faceOf(x, y, z)
-        val (u, v) = S2Quad.uvOnFace(face, x, y, z)
-        (face, stToIj(uvToSt(u)) >> shift, stToIj(uvToSt(v)) >> shift)
-      }.groupBy(_._1).map { case (face, pts) =>
-        face -> (pts.map(_._2).min, pts.map(_._2).max,
-                 pts.map(_._3).min, pts.map(_._3).max)
+    } else {
+      var k = 0
+      while (k < nSlices) {
+        val a = minLat + (maxLat - minLat) * k / nSlices
+        val b = minLat + (maxLat - minLat) * (k + 1) / nSlices
+        coverBoxRect(minLon, a, maxLon, b, level, acc, maxCells)
+        k += 1
       }
     }
+    acc.toArray
+  }
+
+  /** One sampling pass over a box boundary: per touched face, the raw
+    * (unpadded) (i, j) rectangle of the samples at `level`. */
+  private def facesRectsOf(minLon: Double, minLat: Double,
+                           maxLon: Double, maxLat: Double,
+                           level: Int, n: Int): Map[Int, (Int, Int, Int, Int)] = {
+    val shift = MaxLevel - level
+    val samples = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    (0 to n).foreach { k =>
+      val fLon = minLon + (maxLon - minLon) * k / n
+      val fLat = minLat + (maxLat - minLat) * k / n
+      samples += ((fLon, minLat)); samples += ((fLon, maxLat))
+      samples += ((minLon, fLat)); samples += ((maxLon, fLat))
+    }
+    // u/v critical lines of the central projection can sit strictly
+    // inside the box (e.g. lon = 0 on the +-x faces): include the
+    // interior grid lines through multiples of 45 deg to capture them
+    var g = math.ceil(minLon / 45.0) * 45.0
+    while (g <= maxLon) {
+      (0 to n).foreach { k => samples += ((g, minLat + (maxLat - minLat) * k / n)) }
+      g += 45.0
+    }
+    g = math.ceil(minLat / 45.0) * 45.0
+    while (g <= maxLat) {
+      (0 to n).foreach { k => samples += ((minLon + (maxLon - minLon) * k / n, g)) }
+      g += 45.0
+    }
+    samples.toSeq.map { case (lo, la) =>
+      val (x, y, z) = S2Quad.xyzFromLonLat(lo, la)
+      val face = S2Quad.faceOf(x, y, z)
+      val (u, v) = S2Quad.uvOnFace(face, x, y, z)
+      (face, stToIj(uvToSt(u)) >> shift, stToIj(uvToSt(v)) >> shift)
+    }.groupBy(_._1).map { case (face, pts) =>
+      face -> (pts.map(_._2).min, pts.map(_._2).max,
+               pts.map(_._3).min, pts.map(_._3).max)
+    }
+  }
+
+  /** Single-rect covering of one (sub-)box into the shared accumulator —
+    * the adaptive-sampling + curvature-pad core (see [[coverBox]]). */
+  private def coverBoxRect(minLon: Double, minLat: Double,
+                           maxLon: Double, maxLat: Double, level: Int,
+                           acc: scala.collection.mutable.LinkedHashSet[Long],
+                           maxCells: Int): Unit = {
+    val shift = MaxLevel - level
+
     def extentOf(rects: Map[Int, (Int, Int, Int, Int)]): Int =
       rects.values.map { case (i0, i1, j0, j1) => math.max(i1 - i0, j1 - j0) + 1 }.max
 
-    val first = facesRects(256)
+    val first = facesRectsOf(minLon, minLat, maxLon, maxLat, level, 256)
     val e1 = extentOf(first)
     // re-sample at ~4 samples per boundary cell (cost-capped); then the
     // residual secant-overshoot bound decides the pad
     val m = math.min(1 << 14, math.max(256, Integer.highestOneBit(math.max(1, e1 - 1)) * 8))
-    val rects = if (m > 256) facesRects(m) else first
+    val rects = if (m > 256) facesRectsOf(minLon, minLat, maxLon, maxLat, level, m) else first
     val e = extentOf(rects) + 4 // margin: the estimate itself may undershoot
     val dev = 8.0 * e.toDouble * e / (m.toDouble * m) / (1L << level).toDouble
     val pad = 1 + (if (dev < 0.5) 0 else math.ceil(dev).toInt)
 
-    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
     val maxIdx = (1 << level) - 1
     rects.toSeq.sortBy(_._1).foreach { case (face, (ri0, ri1, rj0, rj1)) =>
       val i0 = math.max(0, ri0 - pad)
       val i1 = math.min(maxIdx, ri1 + pad)
       val j0 = math.max(0, rj0 - pad)
       val j1 = math.min(maxIdx, rj1 + pad)
-      require((i1 - i0 + 1).toLong * (j1 - j0 + 1) + out.size <= maxCells,
+      require((i1 - i0 + 1).toLong * (j1 - j0 + 1) + acc.size <= maxCells,
         s"coverBox would exceed $maxCells cells; use a coarser level")
       var i = i0
       while (i <= i1) {
         var j = j0
         while (j <= j1) {
-          out += parent(fromFaceIj(face, i << shift, j << shift), level)
+          acc += parent(fromFaceIj(face, i << shift, j << shift), level)
           j += 1
         }
         i += 1
       }
     }
-    out.distinct.toArray
   }
 
   /** The cell's 4 corners as (lon°, lat°) in CCW order (the published

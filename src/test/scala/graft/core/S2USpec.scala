@@ -144,9 +144,10 @@ class S2USpec extends AnyFunSuite {
       // (lon0, lat0, lon1, lat1, level)
       (10.0, 20.0, 14.0, 20.02, 14),   // skinny wide box, ~730 cells/side
       (-20.0, -0.01, 20.0, 0.01, 14),  // 40 deg long equatorial, ~4500 cells
-                                       // (mid-lat boxes this long overflow the
-                                       // per-face RECT near face corners - loose
-                                       // but sound; callers fall back coarser)
+      (-60.0, -35.0, -30.0, -34.99, 14), // 30 deg at mid-latitude ACROSS a face
+                                       // corner: the single per-face rect
+                                       // overflowed maxCells here; the sliced
+                                       // covering follows the bent curve
       (40.0, 5.0, 50.0, 5.05, 14),     // crosses the lon-45 face edge
       (-5.0, 40.0, 10.0, 55.0, 10),    // Europe box, ~270 cells/side
       (120.0, 60.0, 179.0, 61.0, 10))  // high-lat long box (polar-face arc:
