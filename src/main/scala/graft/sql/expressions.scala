@@ -991,3 +991,56 @@ case class H3UPolyfillWkt(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** s2u_children(id) -> ARRAY<LONG> - the 4 children in Hilbert traversal
+  * order (published layout: contiguous leaf sub-ranges). */
+case class S2UChildren(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "s2u_children"
+  override def nullSafeEval(id: Any): Any =
+    new GenericArrayData(graft.core.S2U.children(id.asInstanceOf[Long]))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** s2u_contains(ancestor, cell) -> BOOLEAN - leaf-range containment
+  * (published rangeMin/rangeMax algebra; O(1), codegen'd). */
+case class S2UContains(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "s2u_contains"
+  override def nullSafeEval(a: Any, c: Any): Any =
+    graft.core.S2U.contains(a.asInstanceOf[Long], c.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, c) => s"graft.core.S2U.contains($a, $c)")
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** h3u_compact(cells) -> ARRAY<LONG> - published compactCells: complete
+  * sibling sets fold into their parent (6 children for pentagon parents),
+  * yielding a mixed-resolution set covering exactly the same region.
+  * Input must be distinct cells of one resolution. */
+case class H3UCompact(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "h3u_compact"
+  override def nullSafeEval(cells: Any): Any = {
+    val arr = cells.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    new GenericArrayData(graft.core.H3U.compactCells(arr))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** h3u_uncompact(cells, res) -> ARRAY<LONG> - published uncompactCells:
+  * expand a (possibly mixed-resolution) set to uniform `res`. */
+case class H3UUncompact(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "h3u_uncompact"
+  override def nullSafeEval(cells: Any, res: Any): Any = {
+    val arr = cells.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toLongArray()
+    new GenericArrayData(graft.core.H3U.uncompactCells(arr, res.asInstanceOf[Int]))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -127,6 +127,14 @@ object GraftFunctions {
       (e: Seq[Expression]) => { require(e.length == 1, "s2u_center(id)"); S2UCenter(cL(e(0))) }),
     ("s2u_boundary_wkt", "s2u_boundary_wkt(id) - cell corner polygon as WKT",
       (e: Seq[Expression]) => { require(e.length == 1, "s2u_boundary_wkt(id)"); S2UBoundaryWkt(cL(e(0))) }),
+    ("s2u_children", "s2u_children(id) - the 4 children in Hilbert order",
+      (e: Seq[Expression]) => { require(e.length == 1, "s2u_children(id)"); S2UChildren(cL(e(0))) }),
+    ("s2u_contains", "s2u_contains(ancestor, cell) - leaf-range containment",
+      (e: Seq[Expression]) => { require(e.length == 2, "s2u_contains(ancestor, cell)"); S2UContains(cL(e(0)), cL(e(1))) }),
+    ("h3u_compact", "h3u_compact(cells) - fold complete sibling sets into parents",
+      (e: Seq[Expression]) => { require(e.length == 1, "h3u_compact(cells)"); H3UCompact(e(0)) }),
+    ("h3u_uncompact", "h3u_uncompact(cells, res) - expand a mixed-res set to res",
+      (e: Seq[Expression]) => { require(e.length == 2, "h3u_uncompact(cells, res)"); H3UUncompact(e(0), cI(e(1))) }),
     ("h3u_token", "h3u_token(id) - canonical lowercase-hex H3 index string",
       (e: Seq[Expression]) => { require(e.length == 1, "h3u_token(id)"); H3UToken(cL(e(0))) }),
     ("h3u_is_pentagon", "h3u_is_pentagon(id) - true for the 12 pentagon lineages",
@@ -235,6 +243,10 @@ object functions {
   def s2u_level(id: Column): Column = call_function("s2u_level", id)
   def s2u_center(id: Column): Column = call_function("s2u_center", id)
   def s2u_boundary_wkt(id: Column): Column = call_function("s2u_boundary_wkt", id)
+  def s2u_children(id: Column): Column = call_function("s2u_children", id)
+  def s2u_contains(ancestor: Column, cell: Column): Column = call_function("s2u_contains", ancestor, cell)
+  def h3u_compact(cells: Column): Column = call_function("h3u_compact", cells)
+  def h3u_uncompact(cells: Column, res: Int): Column = call_function("h3u_uncompact", cells, lit(res))
   def h3u_center(id: Column): Column = call_function("h3u_center", id)
   def h3u_parent(id: Column, parentRes: Int): Column =
     call_function("h3u_parent", id, lit(parentRes))

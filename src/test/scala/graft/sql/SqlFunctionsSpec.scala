@@ -193,6 +193,27 @@ class SqlFunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("s2u_children/s2u_contains and h3u_compact/h3u_uncompact match the core library") {
+    import graft.core.{S2U, H3U}
+    val rows = pts.withColumn("s2", gf.s2u_cell($"lon", $"lat", 8))
+      .withColumn("kids", gf.s2u_children($"s2"))
+      .withColumn("self_in", gf.s2u_contains(gf.s2u_parent($"s2", 4), $"s2"))
+      .select("s2", "kids", "self_in").collect()
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      assert(r.getSeq[Long](1).toArray.toSeq == S2U.children(id).toSeq)
+      assert(r.getBoolean(2), "ancestor must contain its descendant")
+    }
+    // compact a full child set back to the parent through SQL
+    val hex = H3U.res0Cells.filterNot(H3U.isPentagon).head
+    val kids = H3U.cellToChildren(hex, 2)
+    val sqlRes = spark.sql(
+      s"SELECT h3u_compact(array(${kids.mkString("L,")}L)) AS c," +
+      s" h3u_uncompact(array(${hex}L), 2) AS u").collect()(0)
+    assert(sqlRes.getSeq[Long](0).toSeq == Seq(hex))
+    assert(sqlRes.getSeq[Long](1).toSet == kids.toSet)
+  }
+
   test("explain: gh_encode stays inside WholeStageCodegen") {
     val df = spark.range(100).select(
       ($"id" % 360 - 180).cast("double").as("lon"), ($"id" % 170 - 85).cast("double").as("lat"))
