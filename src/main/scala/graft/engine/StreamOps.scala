@@ -190,23 +190,20 @@ object StreamOps {
     * fingerprint (shuffle on the dedup key), so each micro-batch costs
     * O(batch), not O(corpus). Over a single static batch the result
     * equals `GROUP BY fp → min(doc_id)` — the DuckDB oracle (q64). */
+  /** `stateTtl` (e.g. "30 minutes"): optional BOUNDED-STATE mode. The
+    * default keeps one state entry per distinct fingerprint forever —
+    * exact, but on a months-long 100 TB ingest that is unbounded state
+    * store growth. With a TTL, a fingerprint's entry expires after that
+    * long without a re-sighting, so memory is bounded by the TTL-window
+    * throughput; a duplicate arriving later than the TTL re-emits (the
+    * standard windowed-dedup tradeoff, stated rather than hidden).
+    * Timeouts are processing-time (ingest wall clock). */
   def streamedDedup(spark: SparkSession, parquetPath: String,
                     idCol: String, textCol: String,
-                    maxFilesPerTrigger: Int = 0): DataFrame = {
-    import spark.implicits._
-    val schema = spark.read.parquet(parquetPath).schema
-    val f = new java.io.File(parquetPath)
-    val (dir, glob) = if (f.isDirectory) (parquetPath, "*") else (f.getParent, f.getName)
-    var reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
-    if (maxFilesPerTrigger > 0) reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
-    val docs = reader.parquet(dir).select(col(idCol).as("doc_id"), col(textCol).as("text"))
-    val fps = TextOps.fingerprint(docs, "doc_id", "text").as[(Long, Long)]
-    val deduped = fps.groupByKey(_._2)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (fp: Long, rows: Iterator[(Long, Long)], state: GroupState[Boolean]) => {
-          if (state.exists) Iterator.empty
-          else { state.update(true); Iterator.single(DedupRow(fp, rows.map(_._1).min)) }
-        })
+                    maxFilesPerTrigger: Int = 0,
+                    stateTtl: String = ""): DataFrame = {
+    val deduped = streamedDedupStream(spark, parquetPath, idCol, textCol,
+      maxFilesPerTrigger, stateTtl)
     val name = s"q64_out_${System.nanoTime()}"
     val q = deduped.writeStream.format("memory").queryName(name)
       .outputMode("append").start()
@@ -216,11 +213,86 @@ object StreamOps {
     out
   }
 
+  /** The unsunk streaming Dataset behind [[streamedDedup]] — exposed so
+    * tests (and callers with their own sinks) can drive micro-batches and
+    * wall-clock gaps explicitly, which is the only way to observe
+    * processing-time TTL expiry deterministically. */
+  def streamedDedupStream(spark: SparkSession, parquetPath: String,
+                          idCol: String, textCol: String,
+                          maxFilesPerTrigger: Int = 0,
+                          stateTtl: String = ""): Dataset[DedupRow] = {
+    import spark.implicits._
+    val schema = spark.read.parquet(parquetPath).schema
+    val f = new java.io.File(parquetPath)
+    val (dir, glob) = if (f.isDirectory) (parquetPath, "*") else (f.getParent, f.getName)
+    var reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
+    if (maxFilesPerTrigger > 0) reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
+    val docs = reader.parquet(dir).select(col(idCol).as("doc_id"), col(textCol).as("text"))
+    val fps = TextOps.fingerprint(docs, "doc_id", "text").as[(Long, Long)]
+    val timeout =
+      if (stateTtl.isEmpty) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.ProcessingTimeTimeout
+    fps.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(dedupHandler(stateTtl))
+  }
+
+  /** The per-fingerprint state handler behind [[streamedDedupStream]] —
+    * a named function so the TTL branches are unit-testable with
+    * TestGroupState (processing-time expiry cannot be driven
+    * deterministically through a running query). */
+  private[engine] def dedupHandler(stateTtl: String)(
+      fp: Long, rows: Iterator[(Long, Long)], state: GroupState[Boolean]): Iterator[DedupRow] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else if (state.exists) {
+      // re-sighting refreshes the TTL: hot duplicates never expire
+      if (stateTtl.nonEmpty) state.setTimeoutDuration(stateTtl)
+      Iterator.empty
+    } else {
+      state.update(true)
+      if (stateTtl.nonEmpty) state.setTimeoutDuration(stateTtl)
+      Iterator.single(DedupRow(fp, rows.map(_._1).min))
+    }
+
   final case class NearDupCand(doc_a: Long, doc_b: Long)
   /** Per-band-bucket LSH state: `alive = false` marks a bucket that
     * overflowed the cap (boilerplate signal — permanently muted, matching
     * the batch BandBucketCap exclusion from the overflowing batch on). */
   final case class BucketState(alive: Boolean, members: List[Long])
+
+  /** The per-(band, key) bucket handler behind
+    * [[streamedNearDupCandidates]] — named for TestGroupState unit tests
+    * of the TTL branches. Bounded-state mode: a bucket idle past the TTL
+    * (incl. a muted one) is dropped; near-dups separated by more than the
+    * TTL window stop pairing — the stated windowed tradeoff.
+    * setTimeoutDuration follows each update (the state must be defined
+    * when a timeout is armed). */
+  private[engine] def nearDupHandler(bucketCap: Int, stateTtl: String)(
+      key: (Int, String), rows: Iterator[(Int, String, Long)],
+      state: GroupState[BucketState]): Iterator[NearDupCand] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val newIds = rows.map(_._3).toArray.distinct.sorted
+      val st = state.getOption.getOrElse(BucketState(alive = true, Nil))
+      if (!st.alive) {
+        if (stateTtl.nonEmpty) state.setTimeoutDuration(stateTtl)
+        Iterator.empty
+      } else if (st.members.size + newIds.length > bucketCap) {
+        state.update(BucketState(alive = false, Nil)) // boilerplate bucket
+        if (stateTtl.nonEmpty) state.setTimeoutDuration(stateTtl)
+        Iterator.empty
+      } else {
+        state.update(BucketState(alive = true, st.members ++ newIds.toList))
+        if (stateTtl.nonEmpty) state.setTimeoutDuration(stateTtl)
+        val cross = for (o <- st.members.iterator; n <- newIds.iterator)
+          yield NearDupCand(math.min(o, n), math.max(o, n))
+        val within = for {
+          i <- newIds.indices.iterator
+          j <- (i + 1 until newIds.length).iterator
+        } yield NearDupCand(newIds(i), newIds(j))
+        cross ++ within
+      }
+    }
+
 
   /** Streaming NEAR-dup candidate detection — the ingest-time form of the
     * batch MinHash+LSH pipeline (q32): each arriving document's minhash
@@ -243,7 +315,8 @@ object StreamOps {
   def streamedNearDupCandidates(spark: SparkSession, parquetPath: String,
                                 idCol: String, textCol: String,
                                 bucketCap: Int = TextOps.BandBucketCap,
-                                maxFilesPerTrigger: Int = 0): DataFrame = {
+                                maxFilesPerTrigger: Int = 0,
+                                stateTtl: String = ""): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.Column
     val schema = spark.read.parquet(parquetPath).schema
@@ -271,27 +344,12 @@ object StreamOps {
         struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
       .select(col("bk.band").as("band"), col("bk.key").as("key"), col("doc_id"))
       .as[(Int, String, Long)]
+    val timeout =
+      if (stateTtl.isEmpty) GroupStateTimeout.NoTimeout
+      else GroupStateTimeout.ProcessingTimeTimeout
     val cands = bands.groupByKey { case (band, key, _) => (band, key) }
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        (_: (Int, String), rows: Iterator[(Int, String, Long)],
-         state: GroupState[BucketState]) => {
-          val newIds = rows.map(_._3).toArray.distinct.sorted
-          val st = state.getOption.getOrElse(BucketState(alive = true, Nil))
-          if (!st.alive) Iterator.empty
-          else if (st.members.size + newIds.length > bucketCap) {
-            state.update(BucketState(alive = false, Nil)) // boilerplate bucket
-            Iterator.empty
-          } else {
-            state.update(BucketState(alive = true, st.members ++ newIds.toList))
-            val cross = for (o <- st.members.iterator; n <- newIds.iterator)
-              yield NearDupCand(math.min(o, n), math.max(o, n))
-            val within = for {
-              i <- newIds.indices.iterator
-              j <- (i + 1 until newIds.length).iterator
-            } yield NearDupCand(newIds(i), newIds(j))
-            cross ++ within
-          }
-        })
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        nearDupHandler(bucketCap, stateTtl))
     val name = s"q67_out_${System.nanoTime()}"
     val q = cands.writeStream.format("memory").queryName(name)
       .outputMode("append").start()

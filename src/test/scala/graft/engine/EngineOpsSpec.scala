@@ -290,6 +290,52 @@ class EngineOpsSpec extends AnyFunSuite {
     assert(got.isEmpty, "over-cap bucket must be excluded, matching BandBucketCap")
   }
 
+  test("state TTL handlers: arm, refresh, expire, and re-emit (TestGroupState)") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    def state[S](opt: Option[S], timedOut: Boolean = false): TestGroupState[S] =
+      TestGroupState.create[S](
+        Optional.fromNullable(opt.getOrElse(null.asInstanceOf[S])),
+        GroupStateTimeout.ProcessingTimeTimeout, 1000L,
+        Optional.absent[Long](), timedOut)
+    val ttl = "1 hour"
+    // fresh fingerprint: emits min id and ARMS the TTL
+    val s1 = state[Boolean](None)
+    val out1 = StreamOps.dedupHandler(ttl)(7L, Iterator((10L, 7L), (12L, 7L)), s1).toSeq
+    assert(out1.map(_.doc_id) == Seq(10L) && s1.exists)
+    assert(s1.getTimeoutTimestampMs.isPresent, "TTL not armed on first sighting")
+    // re-sighting: swallowed, TTL REFRESHED (hot dups never expire)
+    val s2 = state[Boolean](Some(true))
+    assert(StreamOps.dedupHandler(ttl)(7L, Iterator((99L, 7L)), s2).isEmpty)
+    assert(s2.getTimeoutTimestampMs.isPresent, "TTL not refreshed on re-sighting")
+    // expiry: state removed, nothing emitted — the NEXT sighting re-emits
+    val s3 = state[Boolean](Some(true), timedOut = true)
+    assert(StreamOps.dedupHandler(ttl)(7L, Iterator.empty, s3).isEmpty)
+    assert(s3.isRemoved, "expired state must be dropped")
+    val s4 = state[Boolean](None)
+    val out4 = StreamOps.dedupHandler(ttl)(7L, Iterator((1L, 7L)), s4).toSeq
+    assert(out4.map(_.doc_id) == Seq(1L), "post-expiry duplicate must re-emit")
+    // near-dup bucket: members arm the TTL; a muted bucket keeps its TTL
+    // (so it eventually expires instead of living forever); expiry drops it
+    val b1 = state[StreamOps.BucketState](None)
+    val pairs = StreamOps.nearDupHandler(50, ttl)((0, "k"),
+      Iterator((0, "k", 2L), (0, "k", 5L)), b1).toSeq
+    assert(pairs == Seq(StreamOps.NearDupCand(2L, 5L)))
+    assert(b1.getTimeoutTimestampMs.isPresent)
+    val b2 = state[StreamOps.BucketState](Some(StreamOps.BucketState(alive = false, Nil)))
+    assert(StreamOps.nearDupHandler(50, ttl)((0, "k"), Iterator((0, "k", 9L)), b2).isEmpty)
+    assert(b2.getTimeoutTimestampMs.isPresent, "muted bucket must still expire")
+    val b3 = state[StreamOps.BucketState](
+      Some(StreamOps.BucketState(alive = true, List(2L, 5L))), timedOut = true)
+    assert(StreamOps.nearDupHandler(50, ttl)((0, "k"), Iterator.empty, b3).isEmpty)
+    assert(b3.isRemoved)
+    // and with NO ttl, no timeout is ever armed (NoTimeout contract)
+    val s5 = TestGroupState.create[Boolean](Optional.absent[Boolean](),
+      GroupStateTimeout.NoTimeout, 1000L, Optional.absent[Long](), false)
+    assert(StreamOps.dedupHandler("")(7L, Iterator((3L, 7L)), s5).nonEmpty)
+    assert(!s5.getTimeoutTimestampMs.isPresent)
+  }
+
   test("streamedDedup: first batch wins per fingerprint, later duplicates swallowed") {
     val dir = java.nio.file.Files.createTempDirectory("stream_dedup").toString
     import spark.implicits._
