@@ -859,12 +859,19 @@ object SparkEntry {
            | _c AS (SELECT doc_id, $counts FROM _tok GROUP BY doc_id)
            | SELECT doc_id, $pred AS pred_lang, ${names.map(l => s"c_$l").mkString(", ")} FROM _c""".stripMargin.replace("\n", " ")
       },
-      "q36_quality" ->
-        s"""WITH _tok AS (SELECT doc_id, unnest(${tokensDuck("text")}) AS t FROM documents)
+      "q36_quality" -> {
+        val sw = graft.engine.TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+        s"""WITH _d AS (SELECT doc_id, text,
+           |   CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+           |     / length(text) AS _punct FROM documents),
+           | _tok AS (SELECT doc_id, _punct, unnest(${tokensDuck("text")}) AS t FROM _d)
            | SELECT doc_id, count(*) AS n_tokens, count(DISTINCT t) AS n_distinct,
            |   CAST(count(DISTINCT t) AS DOUBLE) / count(*) AS ttr,
-           |   CAST(sum(length(t)) AS DOUBLE) / count(*) AS avg_token_len
-           | FROM _tok GROUP BY doc_id""".stripMargin.replace("\n", " "),
+           |   CAST(sum(length(t)) AS DOUBLE) / count(*) AS avg_token_len,
+           |   CAST(sum(CASE WHEN t IN ($sw) THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS stopword_ratio,
+           |   first(_punct) AS punct_ratio
+           | FROM _tok GROUP BY doc_id""".stripMargin.replace("\n", " ")
+      },
       "q37_token_count" ->
         s"""SELECT doc_id, CAST(len(${tokensDuck("text")}) AS BIGINT) AS n_tokens,
            | CAST(length(text) AS BIGINT) AS n_chars_len FROM documents""".stripMargin.replace("\n", " "),

@@ -241,15 +241,31 @@ object TextOps {
     agg.select(col(idCol) +: pred.as("pred_lang") +: langs.map(l => col(s"c_$l")): _*)
   }
 
+  /** Stopword list for the quality signal: the union of the language-ID
+    * marker sets — deterministic and mirrored verbatim in the oracle. */
+  val stopwords: Seq[String] = langMarkers.flatMap(_._2)
+
   /** Quality metrics: token count, distinct count, type-token ratio,
-    * mean token length. */
+    * mean token length, stopword ratio (stopword tokens / tokens — too
+    * LOW marks keyword-stuffed or non-linguistic text), punctuation ratio
+    * (non-alphanumeric-non-space chars / chars — too HIGH marks markup or
+    * table debris). All pure column aggregations — one shuffle on the
+    * doc id, no UDFs. */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
+    val tok = docs
+      .withColumn("_punct",
+        (length(col(textCol)) -
+          length(regexp_replace(col(textCol), "[^a-z0-9 ]", ""))).cast("double") /
+        length(col(textCol)))
+      .select(col(idCol), col("_punct"), explode(tokens(col(textCol))).as("t"))
     tok.groupBy(col(idCol)).agg(
       count(lit(1)).as("n_tokens"),
       countDistinct(col("t")).as("n_distinct"),
       (count_distinct(col("t")).cast("double") / count(lit(1))).as("ttr"),
-      (sum(length(col("t"))).cast("double") / count(lit(1))).as("avg_token_len"))
+      (sum(length(col("t"))).cast("double") / count(lit(1))).as("avg_token_len"),
+      (sum(when(col("t").isin(stopwords: _*), 1).otherwise(0)).cast("double") /
+        count(lit(1))).as("stopword_ratio"),
+      first(col("_punct")).as("punct_ratio"))
   }
 
   /** Document fingerprint: 60-bit hash of the canonical (sorted distinct)
