@@ -34,10 +34,10 @@ object SparkEntry {
     * bench/verify runs on one machine must not wipe each other's in-flight
     * table. Recursively removed by a one-time shutdown hook; the
     * per-invocation wipe in q52 handles repeated runs inside one JVM. */
-  private lazy val q52ScratchRoot: java.nio.file.Path = {
+  private def scratchRoot(tag: String): java.nio.file.Path = {
     val p = java.nio.file.Paths.get(
       System.getProperty("java.io.tmpdir"),
-      s"graft-q52-scratch-${java.lang.ProcessHandle.current().pid()}")
+      s"graft-$tag-scratch-${java.lang.ProcessHandle.current().pid()}")
     Runtime.getRuntime.addShutdownHook(new Thread(() =>
       if (java.nio.file.Files.exists(p))
         scala.util.Using.resource(java.nio.file.Files.walk(p)) { w =>
@@ -48,6 +48,17 @@ object SparkEntry {
         }))
     p
   }
+  private lazy val q52ScratchRoot: java.nio.file.Path = scratchRoot("q52")
+  private lazy val q69ScratchRoot: java.nio.file.Path = scratchRoot("q69")
+
+  /** Recursively wipe a scratch root if present (per-invocation reset). */
+  private def wipe(root: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(root))
+      scala.util.Using.resource(java.nio.file.Files.walk(root)) { w =>
+        import scala.jdk.CollectionConverters._
+        w.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete)
+      }
 
   private val londonBox = BBox(-0.75, 51.0, 0.25, 52.0)
   private val amBox = BBox(178.0, -45.0, -178.0, 45.0) // anti-meridian straddle
@@ -513,6 +524,18 @@ object SparkEntry {
     "q41_ann_ivf" -> gq { (s, dir) => // IVF-flat: probe 2 of 8 inverted lists, exact rerank
       graft.engine.AnnOps.annIvf(ld(s, dir, "embeddings"), "vec_id", "embedding", 64, 3, 10)
     },
+    "q69_ann_ivf_indexed" -> gq { (s, dir) =>
+      // the IVF layout made physical: inverted lists are directory
+      // PARTITIONS of an IcebergLite table, probe selection runs against
+      // the collected (bounded) centroid vectors, and each probe scan
+      // prunes to its lists' files — identical results to q41, so the
+      // same DuckDB oracle checks it hash-exact
+      wipe(q69ScratchRoot)
+      val tbl = q69ScratchRoot.toString + "/ivf"
+      graft.engine.AnnOps.writeIvfIndex(
+        ld(s, dir, "embeddings"), "vec_id", "embedding", 64, tbl)
+      graft.engine.AnnOps.annIvfIndexed(s, tbl, 64, 3, 10)
+    },
     "q22_tile_metrics" -> gq { (s, dir) =>
       // per-tile metrics emission (north_rule): counts, extent, cell area,
       // format mix per tile of the image table (rows-only check)
@@ -633,14 +656,8 @@ object SparkEntry {
       // bench/verify loops in one JVM must not leak one temp table per run,
       // and two concurrent runs on the same machine must not delete each
       // other's in-flight streaming table mid-query
-      val root = q52ScratchRoot
-      if (java.nio.file.Files.exists(root))
-        scala.util.Using.resource(java.nio.file.Files.walk(root)) { w =>
-          import scala.jdk.CollectionConverters._
-          w.sorted(java.util.Comparator.reverseOrder())
-            .iterator().asScala.foreach(java.nio.file.Files.delete)
-        }
-      val tbl = root.toString + "/t"
+      wipe(q52ScratchRoot)
+      val tbl = q52ScratchRoot.toString + "/t"
       graft.engine.StreamOps.streamedTileIngest(s, s"$dir/events.parquet", tbl,
         "user_id", 20, 6)
     },
@@ -893,6 +910,8 @@ object SparkEntry {
           | AS n_bpeish FROM documents""".stripMargin.replace("\n", " "),
       "q34_ann_topk" -> annBruteDuck("embeddings", "vec_id", "embedding", 64, 3, 10),
       "q41_ann_ivf" -> annIvfDuck("embeddings", "vec_id", "embedding", 64, 3, 10, 8, 2),
+      "q69_ann_ivf_indexed" -> // physical IVF layout == the in-plan IVF result
+        annIvfDuck("embeddings", "vec_id", "embedding", 64, 3, 10, 8, 2),
       "q39_embed_neardup" ->
         blockedNearDupDuck("embeddings", "vec_id", "embedding", "label", 64, 0.45,
           graft.engine.AnnOps.SubBlockCap, graft.engine.AnnOps.SubPlanes),

@@ -147,6 +147,73 @@ object AnnOps {
     rankTopK(perQuery, k)
   }
 
+  /** Materialize the IVF layout: every embedding row lands in the
+    * directory PARTITION of its nearest centroid (the same deterministic
+    * data-sampled quantizer as [[annIvf]]), written as an IcebergLite
+    * table with `ivf.*` properties recorded in the manifest. This is the
+    * "at scale" half of the IVF design made real: with inverted lists as
+    * partitions, a probe reads only its lists' FILES — the same
+    * file-listing-time pruning the spatial tile indexes get. */
+  def writeIvfIndex(emb: DataFrame, idCol: String, embCol: String, dim: Int,
+                    table: String, nCentroids: Int = 8): Unit = {
+    val cents = emb.where(col(idCol) < nCentroids)
+      .select(col(idCol).as("cent_id"), col(embCol).as("_cvec"))
+    val d2ToCent = aggregate(
+      zip_with(col(embCol).cast("array<double>"), col("_cvec").cast("array<double>"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val wAssign = Window.partitionBy(col(idCol)).orderBy(col("_d2").asc, col("cent_id").asc)
+    val assigned = emb.crossJoin(broadcast(cents))
+      .withColumn("_d2", d2ToCent)
+      .withColumn("_rk", row_number().over(wAssign))
+      .where(col("_rk") === 1)
+      .select(col(idCol), col(embCol), col("cent_id"))
+    graft.data.IcebergLite.write(assigned, table, "cent_id",
+      properties = Map("ivf.n_centroids" -> nCentroids.toString,
+                       "ivf.dim" -> dim.toString,
+                       "ivf.id_col" -> idCol, "ivf.emb_col" -> embCol))
+  }
+
+  /** ANN over a pre-built IVF index table ([[writeIvfIndex]]): probe
+    * selection runs DRIVER-side against the nCentroids collected centroid
+    * vectors (bounded — the coarse quantizer always fits in memory; the
+    * squared-L2 fold runs in the same element order and with the same
+    * (d2, cent_id) tie-break as the oracle, so results stay hash-exact
+    * with q41's SQL), and each query's scan carries `cent_id IN (probes)`
+    * — a filter on the DIRECTORY PARTITION column, so only the probed
+    * lists' files are read. Output (qid, rnk, vec_id, cosine), identical
+    * to [[annIvf]] for the same parameters. */
+  def annIvfIndexed(spark: org.apache.spark.sql.SparkSession, table: String,
+                    dim: Int, nQueries: Int, k: Int, nProbe: Int = 2): DataFrame = {
+    val manifest = graft.data.IcebergLite.readManifest(table).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot at $table"))
+    val nCentroids = manifest.properties("ivf.n_centroids").toInt
+    val idCol = manifest.properties("ivf.id_col")
+    val embCol = manifest.properties("ivf.emb_col")
+    val tbl = graft.data.IcebergLite.read(spark, table)
+    val centroids: Array[(Long, Array[Double])] = tbl.where(col(idCol) < nCentroids)
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(centroids.length == nCentroids, s"expected $nCentroids centroid rows")
+    val withNorm = tbl.withColumn("_n", sqrt(norm2(embCol, dim)))
+    val perQuery = (0 until nQueries).map { q =>
+      val qv = queryVec(q, dim)
+      val qn = math.sqrt(qv.map(x => x * x).sum)
+      val probes = centroids.map { case (cid, cv) =>
+        var acc = 0.0
+        var j = 0
+        while (j < dim) { val d = qv(j) - cv(j); acc += d * d; j += 1 }
+        (acc, cid)
+      }.sortBy(identity).take(nProbe).map(_._2)
+      val cos = (dotConst(embCol, qv) / (col("_n") * lit(qn))).as("cosine")
+      withNorm.where(col("cent_id").isin(probes: _*)) // partition-level prune
+        .select(lit(q).as("qid"), col(idCol).as("vec_id"), cos)
+    }
+    rankTopK(perQuery, k)
+  }
+
   /** A label block bigger than this gets SUB-BUCKETED by SRP sign bits: one
     * hot label at 100 TB would otherwise make the within-block pair join
     * O(n²). Blocks at or under the cap keep exact all-pairs semantics; the

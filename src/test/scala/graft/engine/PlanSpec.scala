@@ -588,6 +588,23 @@ class PlanSpec extends AnyFunSuite {
     assert(q.count() > 0)
   }
 
+  test("annIvfIndexed: probes prune to their lists' partitions, results == annIvf") {
+    val dir = java.nio.file.Files.createTempDirectory("ivf_idx").toString
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    AnnOps.writeIvfIndex(emb, "vec_id", "embedding", 64, s"$dir/ivf")
+    val got = AnnOps.annIvfIndexed(spark, s"$dir/ivf", 64, 3, 10)
+    // the probe scans carry cent_id partition filters → file-level pruning
+    val pf = got.queryExecution.executedPlan.toString.linesIterator
+      .filter(_.contains("PartitionFilters")).toSeq
+    assert(pf.nonEmpty && pf.exists(_.contains("cent_id#")),
+      s"no partition filter on cent_id:\n${pf.mkString("\n")}")
+    // identical rows to the in-plan IVF with the same parameters
+    val expect = AnnOps.annIvf(emb, "vec_id", "embedding", 64, 3, 10)
+    assert(got.exceptAll(expect).isEmpty && expect.exceptAll(got).isEmpty,
+      "physical IVF layout diverged from the in-plan IVF")
+    assert(got.count() == 30)
+  }
+
   test("rangeJoinCells: mixed-precision prefix join plans as a broadcast equi-join") {
     val cust = SpatialOps.withTile(SpatialOps.withDerivedPosition(
       spark.read.parquet(s"$sf/customer.parquet").select("c_custkey"), "c_custkey"),
