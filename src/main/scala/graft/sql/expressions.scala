@@ -1044,3 +1044,20 @@ case class H3UUncompact(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/** s2u_cover_wkt(wkt, level) -> ARRAY<LONG> - the polygon-tightened
+  * conservative S2 covering ([[graft.core.S2U.coverPolygon]]: sliced
+  * bbox coverBox minus cells whose conservative rect bound misses the
+  * polygon) - SQL parity with gh_covering_cells and h3u_polyfill_wkt.
+  * Typically called with a literal polygon (planning-side). */
+case class S2UCoverWkt(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "s2u_cover_wkt"
+  override def nullSafeEval(wkt: Any, level: Any): Any = {
+    val rings = graft.core.GeoMath.parseWktPolygon(wkt.asInstanceOf[UTF8String].toString)
+    new GenericArrayData(graft.core.S2U.coverPolygon(rings, level.asInstanceOf[Int]))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

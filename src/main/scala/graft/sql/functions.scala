@@ -131,6 +131,8 @@ object GraftFunctions {
       (e: Seq[Expression]) => { require(e.length == 1, "s2u_children(id)"); S2UChildren(cL(e(0))) }),
     ("s2u_contains", "s2u_contains(ancestor, cell) - leaf-range containment",
       (e: Seq[Expression]) => { require(e.length == 2, "s2u_contains(ancestor, cell)"); S2UContains(cL(e(0)), cL(e(1))) }),
+    ("s2u_cover_wkt", "s2u_cover_wkt(wkt, level) - polygon-tightened S2 covering",
+      (e: Seq[Expression]) => { require(e.length == 2, "s2u_cover_wkt(wkt, level)"); S2UCoverWkt(cS(e(0)), cI(e(1))) }),
     ("h3u_compact", "h3u_compact(cells) - fold complete sibling sets into parents",
       (e: Seq[Expression]) => { require(e.length == 1, "h3u_compact(cells)"); H3UCompact(e(0)) }),
     ("h3u_uncompact", "h3u_uncompact(cells, res) - expand a mixed-res set to res",
@@ -245,6 +247,7 @@ object functions {
   def s2u_boundary_wkt(id: Column): Column = call_function("s2u_boundary_wkt", id)
   def s2u_children(id: Column): Column = call_function("s2u_children", id)
   def s2u_contains(ancestor: Column, cell: Column): Column = call_function("s2u_contains", ancestor, cell)
+  def s2u_cover_wkt(wkt: Column, level: Int): Column = call_function("s2u_cover_wkt", wkt, lit(level))
   def h3u_compact(cells: Column): Column = call_function("h3u_compact", cells)
   def h3u_uncompact(cells: Column, res: Int): Column = call_function("h3u_uncompact", cells, lit(res))
   def h3u_center(id: Column): Column = call_function("h3u_center", id)

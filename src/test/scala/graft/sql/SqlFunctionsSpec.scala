@@ -204,6 +204,12 @@ class SqlFunctionsSpec extends AnyFunSuite {
       assert(r.getSeq[Long](1).toArray.toSeq == S2U.children(id).toSeq)
       assert(r.getBoolean(2), "ancestor must contain its descendant")
     }
+    // the SQL covering == the core coverPolygon (L-shape, level 8)
+    val lWkt = "POLYGON ((-5.0 40.0, 10.0 40.0, 10.0 44.0, -1.0 44.0, -1.0 55.0, -5.0 55.0, -5.0 40.0))"
+    val cover = spark.sql(s"SELECT s2u_cover_wkt('$lWkt', 8) AS c").collect()(0).getSeq[Long](0)
+    assert(cover.toSet == graft.core.S2U.coverPolygon(
+      graft.core.GeoMath.parseWktPolygon(lWkt), 8).toSet)
+    assert(cover.nonEmpty)
     // compact a full child set back to the parent through SQL
     val hex = H3U.res0Cells.filterNot(H3U.isPentagon).head
     val kids = H3U.cellToChildren(hex, 2)
