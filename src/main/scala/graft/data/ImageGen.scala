@@ -17,6 +17,12 @@ import javax.imageio.ImageIO
   * clusters for skew (FIXTURES.md §1).
   */
 object ImageGen {
+  // ImageIO defaults to FileCache streams: every encode/decode round-trips
+  // through a temp FILE on disk. These images are KBs — memory-cache
+  // streams produce byte-identical output without the per-image file
+  // create/write/delete (guide §6: I/O overhead off the hot path).
+  ImageIO.setUseCache(false)
+
   final case class ImageRow(image_id: String, bytes: Array[Byte], w: Int, h: Int,
                             fmt: String, caption: String, phash: Long)
 

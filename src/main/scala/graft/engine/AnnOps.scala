@@ -98,6 +98,52 @@ object AnnOps {
     rankTopK(perQuery, k)
   }
 
+  /** Collect the coarse quantizer: the first nCentroids vectors by id,
+    * widened float→double exactly as the in-plan cast does. Bounded — the
+    * quantizer always fits in driver memory (it is broadcast as literals
+    * into every probe/assignment expression). */
+  private def collectCentroids(emb: DataFrame, idCol: String, embCol: String,
+                               nCentroids: Int): Array[(Long, Array[Double])] = {
+    val cents = emb.where(col(idCol) < nCentroids)
+      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    require(cents.length == nCentroids, s"expected $nCentroids centroid rows")
+    cents
+  }
+
+  /** Nearest-centroid id as ONE codegen'd expression: per centroid the
+    * squared-L2 fold (same element order as the oracle), argmin via
+    * array_min over (d2, cent_id) structs — struct ordering IS the
+    * (d2 asc, cent_id asc) tie-break. Replaces the previous
+    * crossJoin(×nCentroids) + Window row_number argmin, which shuffled
+    * corpus×nCentroids rows to pick a per-row minimum (guide §2.4: remove
+    * shuffles outright — assignment is now map-only). */
+  private def nearestCentId(embCol: String, cents: Array[(Long, Array[Double])]): Column = {
+    val branches = cents.map { case (cid, cv) =>
+      val cvlit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(cv.map(lit)): _*)
+      val d2 = aggregate(
+        zip_with(col(embCol).cast("array<double>"), cvlit, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+      struct(d2.as("d2"), lit(cid).as("cent_id"))
+    }
+    array_min(array(scala.collection.immutable.ArraySeq.unsafeWrapArray(branches): _*))
+      .getField("cent_id")
+  }
+
+  /** The query's nProbe nearest centroids, driver-side (same sequential
+    * fold and (d2, cent_id) tie-break as the oracle SQL — the pattern
+    * annIvfIndexed always used). */
+  private def probesFor(qv: Array[Double], cents: Array[(Long, Array[Double])],
+                        nProbe: Int): Array[Long] =
+    cents.map { case (cid, cv) =>
+      var acc = 0.0
+      var j = 0
+      while (j < cv.length) { val d = qv(j) - cv(j); acc += d * d; j += 1 }
+      (acc, cid)
+    }.sortBy(identity).take(nProbe).map(_._2)
+
   /** IVF-flat ANN: a deterministic coarse quantizer — centroids are the
     * first nCentroids vectors by id (data-sampled, no iterative training;
     * the assignment/probe/rerank pipeline is the scale shape being built) —
@@ -110,38 +156,17 @@ object AnnOps {
     * Output (qid, rnk, vec_id, cosine). */
   def annIvf(emb: DataFrame, idCol: String, embCol: String, dim: Int,
              nQueries: Int, k: Int, nCentroids: Int = 8, nProbe: Int = 2): DataFrame = {
-    val cents = emb.where(col(idCol) < nCentroids)
-      .select(col(idCol).as("cent_id"), col(embCol).as("_cvec"))
-    // nearest centroid by squared L2 (left-to-right fold, oracle-identical)
-    val d2ToCent = aggregate(
-      zip_with(col(embCol).cast("array<double>"), col("_cvec").cast("array<double>"),
-        (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-    val wAssign = Window.partitionBy(col(idCol)).orderBy(col("_d2").asc, col("cent_id").asc)
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("_d2", d2ToCent)
-      .withColumn("_rk", row_number().over(wAssign))
-      .where(col("_rk") === 1)
+    val centroids = collectCentroids(emb, idCol, embCol, nCentroids)
+    val assigned = emb
+      .withColumn("cent_id", nearestCentId(embCol, centroids))
       .select(col(idCol), col(embCol), col("cent_id"))
       .withColumn("_n", sqrt(norm2(embCol, dim)))
     val perQuery = (0 until nQueries).map { q =>
       val qv = queryVec(q, dim)
       val qn = math.sqrt(qv.map(x => x * x).sum)
-      val qlit = array(scala.collection.immutable.ArraySeq.unsafeWrapArray(qv.map(lit)): _*)
-      // the query's nProbe nearest centroid lists (tiny: nCentroids rows)
-      val qd2 = aggregate(
-        zip_with(qlit, col("_cvec").cast("array<double>"), (x, y) => (x - y) * (x - y)),
-        lit(0.0), (acc, x) => acc + x)
-      // nCentroids rows total, so a driver-wide window is harmless — the
-      // constant partition key just keeps the "No Partition Defined"
-      // degradation warning out of every bench/verify log
-      val probes = cents.withColumn("_qd2", qd2)
-        .withColumn("_prk", row_number().over(
-          Window.partitionBy(lit(1)).orderBy(col("_qd2").asc, col("cent_id").asc)))
-        .where(col("_prk") <= nProbe)
-        .select("cent_id")
+      val probes = probesFor(qv, centroids, nProbe)
       val cos = (dotConst(embCol, qv) / (col("_n") * lit(qn))).as("cosine")
-      assigned.join(broadcast(probes), "cent_id")
+      assigned.where(col("cent_id").isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probes.map(Long.box)): _*))
         .select(lit(q).as("qid"), col(idCol).as("vec_id"), cos)
     }
     rankTopK(perQuery, k)
@@ -156,23 +181,33 @@ object AnnOps {
     * file-listing-time pruning the spatial tile indexes get. */
   def writeIvfIndex(emb: DataFrame, idCol: String, embCol: String, dim: Int,
                     table: String, nCentroids: Int = 8): Unit = {
-    val cents = emb.where(col(idCol) < nCentroids)
-      .select(col(idCol).as("cent_id"), col(embCol).as("_cvec"))
-    val d2ToCent = aggregate(
-      zip_with(col(embCol).cast("array<double>"), col("_cvec").cast("array<double>"),
-        (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-    val wAssign = Window.partitionBy(col(idCol)).orderBy(col("_d2").asc, col("cent_id").asc)
-    val assigned = emb.crossJoin(broadcast(cents))
-      .withColumn("_d2", d2ToCent)
-      .withColumn("_rk", row_number().over(wAssign))
-      .where(col("_rk") === 1)
+    val centroids = collectCentroids(emb, idCol, embCol, nCentroids)
+    val assigned = emb
+      .withColumn("cent_id", nearestCentId(embCol, centroids))
       .select(col(idCol), col(embCol), col("cent_id"))
     graft.data.IcebergLite.write(assigned, table, "cent_id",
       properties = Map("ivf.n_centroids" -> nCentroids.toString,
                        "ivf.dim" -> dim.toString,
-                       "ivf.id_col" -> idCol, "ivf.emb_col" -> embCol))
+                       "ivf.id_col" -> idCol, "ivf.emb_col" -> embCol,
+                       // centroid vectors in the manifest: probe selection
+                       // at query time needs NO table scan (a filter on a
+                       // non-partition column read every file — ADVICE r5)
+                       "ivf.centroids" -> serializeCentroids(centroids)))
   }
+
+  /** Manifest-safe centroid codec: `cid:v,v,…|cid:…` (no ';', '=', tabs —
+    * the manifest property charset). Double.toString/parseDouble round-trip
+    * exactly, so the parsed vectors are bit-identical to the collected
+    * ones. */
+  private def serializeCentroids(cents: Array[(Long, Array[Double])]): String =
+    cents.map { case (cid, cv) => s"$cid:${cv.mkString(",")}" }.mkString("|")
+
+  private def parseCentroids(s: String): Array[(Long, Array[Double])] =
+    s.split('|').map { part =>
+      val i = part.indexOf(':')
+      (part.substring(0, i).toLong,
+       part.substring(i + 1).split(',').map(java.lang.Double.parseDouble))
+    }
 
   /** ANN over a pre-built IVF index table ([[writeIvfIndex]]): probe
     * selection runs DRIVER-side against the nCentroids collected centroid
@@ -191,24 +226,26 @@ object AnnOps {
     val idCol = manifest.properties("ivf.id_col")
     val embCol = manifest.properties("ivf.emb_col")
     val tbl = graft.data.IcebergLite.read(spark, table)
-    val centroids: Array[(Long, Array[Double])] = tbl.where(col(idCol) < nCentroids)
-      .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
-      .collect()
-      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
-      .sortBy(_._1)
+    // centroid vectors come from the manifest when the index recorded them
+    // (writeIvfIndex does) — zero table scan for probe selection; tables
+    // written before that property existed fall back to the bounded scan
+    val centroids: Array[(Long, Array[Double])] =
+      manifest.properties.get("ivf.centroids") match {
+        case Some(s) => parseCentroids(s)
+        case None => tbl.where(col(idCol) < nCentroids)
+          .select(col(idCol).cast("long"), col(embCol).cast("array<double>"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+          .sortBy(_._1)
+      }
     require(centroids.length == nCentroids, s"expected $nCentroids centroid rows")
     val withNorm = tbl.withColumn("_n", sqrt(norm2(embCol, dim)))
     val perQuery = (0 until nQueries).map { q =>
       val qv = queryVec(q, dim)
       val qn = math.sqrt(qv.map(x => x * x).sum)
-      val probes = centroids.map { case (cid, cv) =>
-        var acc = 0.0
-        var j = 0
-        while (j < dim) { val d = qv(j) - cv(j); acc += d * d; j += 1 }
-        (acc, cid)
-      }.sortBy(identity).take(nProbe).map(_._2)
+      val probes = probesFor(qv, centroids, nProbe)
       val cos = (dotConst(embCol, qv) / (col("_n") * lit(qn))).as("cosine")
-      withNorm.where(col("cent_id").isin(probes: _*)) // partition-level prune
+      withNorm.where(col("cent_id").isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(probes.map(Long.box)): _*)) // partition-level prune
         .select(lit(q).as("qid"), col(idCol).as("vec_id"), cos)
     }
     rankTopK(perQuery, k)

@@ -271,8 +271,13 @@ object StreamOps {
       state: GroupState[BucketState]): Iterator[NearDupCand] =
     if (state.hasTimedOut) { state.remove(); Iterator.empty }
     else {
-      val newIds = rows.map(_._3).toArray.distinct.sorted
       val st = state.getOption.getOrElse(BucketState(alive = true, Nil))
+      // a doc id re-arriving in a later micro-batch is NOT a new member:
+      // without this filter it would be appended twice (inflating the cap
+      // count) and emit a self-pair via the cross product — which the
+      // batch lshCandidates op never produces (ADVICE r5)
+      val seen = st.members.toSet
+      val newIds = rows.map(_._3).filterNot(seen).toArray.distinct.sorted
       if (!st.alive) {
         if (stateTtl.nonEmpty) state.setTimeoutDuration(stateTtl)
         Iterator.empty

@@ -77,13 +77,23 @@ object TextOps {
   def lshCandidates(sh: DataFrame, idCol: String,
                     bucketCap: Int = BandBucketCap): DataFrame = {
     val sig = minhashSignatures(sh, idCol)
+    bucketsToPairs(bandRowsOfSignatures(sig, idCol), idCol, bucketCap)
+  }
+
+  /** (idCol, band, key) rows from a signature table (one row per doc with
+    * columns s0..s{k-1}). */
+  private def bandRowsOfSignatures(sig: DataFrame, idCol: String): DataFrame = {
     val rowsPerBand = MinhashK / Bands
     val bandKey = (b: Int) => concat_ws("_",
       (0 until rowsPerBand).map(r => col(s"s${b * rowsPerBand + r}").cast("string")): _*)
-    val bands = sig.select(col(idCol),
+    sig.select(col(idCol),
       explode(array((0 until Bands).map(b =>
         struct(lit(b).as("band"), bandKey(b).as("key"))): _*)).as("bk"))
       .select(col(idCol), col("bk.band").as("band"), col("bk.key").as("key"))
+  }
+
+  /** Shared bucket → unordered-pair expansion (see [[lshCandidates]]). */
+  private def bucketsToPairs(bands: DataFrame, idCol: String, bucketCap: Int): DataFrame = {
     val buckets = bands.groupBy("band", "key")
       .agg(graft.sql.functions.collect_capped(col(idCol), bucketCap).as("ids"))
       .where(col("ids").isNotNull && size(col("ids")) >= 2)
@@ -92,6 +102,28 @@ object TextOps {
       .select(col("doc_a"),
         explode(slice(col("ids"), col("_i") + lit(2), lit(bucketCap))).as("doc_b"))
       .distinct()
+  }
+
+  /** [[lshCandidates]] computed from the documents directly, with PER-ROW
+    * minhash signatures: each doc's signature is array_min over the affine
+    * hash family of its distinct-shingle hash ARRAY — a map-only stage, no
+    * shingle explode and no groupBy-min shuffle (the exploded form shuffles
+    * ~n_shingles rows per doc into the signature aggregation; this shape
+    * shuffles exactly [[Bands]] small rows per doc, the band bucketing's
+    * own shuffle, which is the only fundamentally required one — guide
+    * §2.3/§2.4). Values are identical: min over a set is min over the
+    * array of the same set (the streaming op q67 uses the same identity,
+    * asserted == lshCandidates in EngineOpsSpec). */
+  def lshCandidatesPerRow(docs: DataFrame, idCol: String, textCol: String,
+                          bucketCap: Int = BandBucketCap): DataFrame = {
+    val withH = docs
+      .withColumn("_w", tokens(col(textCol)))
+      .where(size(col("_w")) >= 3)
+      .withColumn("_h", transform(array_distinct(shingles3(col("_w"))), sh => hash60(sh)))
+    val sigs = (0 until MinhashK).map(i =>
+      array_min(transform(col("_h"), h => affineHash(h, i))).as(s"s$i"))
+    bucketsToPairs(bandRowsOfSignatures(
+      withH.select(col(idCol) +: sigs: _*), idCol), idCol, bucketCap)
   }
 
   /** MinHash + LSH near-duplicate pairs with exact-jaccard verification.
@@ -103,16 +135,25 @@ object TextOps {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = JaccardThreshold,
                       bucketCap: Int = BandBucketCap): DataFrame = {
-    // DISK_ONLY, not MEMORY_AND_DISK: the exploded (doc, shingle) set is
-    // ~n_tokens rows per doc (≈10× the corpus in row count, comparable in
-    // bytes) and is consumed 3× (signatures, counts, intersection). At
-    // 100 TB of documents the shingle set is another ~100 TB — memory
-    // caching would evict/thrash every executor; serialized disk blocks
-    // cost one local write + three sequential local reads, no recompute
-    // of the explode, and zero executor-memory pressure.
-    val sh = shingleSet(docs, idCol, textCol)
+    // Candidates from PER-ROW signatures: map-only up to the band-bucket
+    // shuffle (Bands rows per doc) — the r5 shape exploded the shingle set
+    // (~n_tokens rows per doc) into a DISK_ONLY persist plus a groupBy-min
+    // signature shuffle over it. Persisted because it feeds both the doc
+    // prefilter and the intersection join; it is the op's OUTPUT scale
+    // (bounded per bucket by cap(cap-1)/2), far below corpus scale.
+    val cand = lshCandidatesPerRow(docs, idCol, textCol, bucketCap)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Exact-jaccard verification only ever reads CANDIDATE docs' shingles:
+    // semi-join prefilter BEFORE shingling (guide §3.2 — reduce the big
+    // side before the shuffle). At 100 TB the candidate fraction is small,
+    // so the exploded shingle set shrinks from corpus scale to candidate
+    // scale; DISK_ONLY because it is consumed 3× (counts + both
+    // intersection sides) and must not pressure executor memory.
+    val candDocs = cand.select(col("doc_a").as(idCol))
+      .unionAll(cand.select(col("doc_b").as(idCol)))
+      .distinct()
+    val sh = shingleSet(docs.join(candDocs, Seq(idCol), "left_semi"), idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    val cand = lshCandidates(sh, idCol, bucketCap)
     val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("x"), col("doc_a") === col(s"x.$idCol"))
@@ -209,16 +250,24 @@ object TextOps {
     docs.join(drop, Seq(idCol), "left_anti")
   }
 
-  /** 60-bit SimHash over the distinct unigram token set. */
+  /** 60-bit SimHash over the distinct unigram token set. PER-ROW: the
+    * distinct-token hash array feeds 60 bounded array folds — a map-only
+    * stage, where the r5 shape exploded ~n_tokens rows per doc into a
+    * 60-aggregate groupBy shuffle (guide §2.4: the aggregation was never
+    * fundamentally required — each doc's vote vector depends only on its
+    * own row). Vote values are identical: a sum over a set is a fold over
+    * the array of the same set. Docs with no tokens vanish exactly as the
+    * explode dropped them. */
   def simhash60(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("t"))
-      .withColumn("h", hash60(col("t")))
+    val withH = docs.select(col(idCol),
+        transform(array_distinct(tokens(col(textCol))), t => hash60(t)).as("_h"))
+      .where(size(col("_h")) >= 1)
     val votes = (0 until 60).map(i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"v$i"))
-    val withVotes = tok.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
+      aggregate(col("_h"), lit(0L), (acc, h) =>
+        acc + when(shiftright(h, i).bitwiseAND(1) === 1, 1L).otherwise(-1L)))
     val bits = (0 until 60).map(i =>
-      when(col(s"v$i") > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
-    withVotes.select(col(idCol), bits.as("simhash"))
+      when(votes(i) > 0, lit(1L << i)).otherwise(0L)).reduce(_ + _)
+    withH.select(col(idCol), bits.as("simhash"))
   }
 
   /** Stopword-marker language ID (n-gram-free heuristic): count per-language
@@ -228,17 +277,23 @@ object TextOps {
     "fr" -> Seq("le", "la", "les"), "es" -> Seq("el", "los", "las"))
 
   def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs.select(col(idCol), explode(tokens(col(textCol))).as("t"))
-    val counts = langMarkers.map { case (lang, ms) =>
-      sum(when(col("t").isin(ms: _*), 1).otherwise(0)).as(s"c_$lang") }
-    val agg = tok.groupBy(col(idCol)).agg(counts.head, counts.tail: _*)
+    // PER-ROW marker counts (size of the filtered token array) — map-only,
+    // no explode + groupBy shuffle (guide §2.4); counts are identical
+    // integers, cast to the same BIGINT the sum() aggregate produced, and
+    // token-less docs vanish exactly as the explode dropped them
+    val withT = docs.select(col(idCol), tokens(col(textCol)).as("_t"))
+      .where(size(col("_t")) >= 1)
+    val counted = langMarkers.foldLeft(withT) { case (df, (lang, ms)) =>
+      df.withColumn(s"c_$lang",
+        size(filter(col("_t"), t => t.isin(ms: _*))).cast("bigint"))
+    }
     val langs = langMarkers.map(_._1)
     val pred = langs.foldRight(lit("und"): Column) { (lang, els) =>
       val c = col(s"c_$lang")
       val beats = langs.filter(_ != lang).map(o => c >= col(s"c_$o")).reduce(_ && _)
       when(c > 0 && beats, lit(lang)).otherwise(els)
     }
-    agg.select(col(idCol) +: pred.as("pred_lang") +: langs.map(l => col(s"c_$l")): _*)
+    counted.select(col(idCol) +: pred.as("pred_lang") +: langs.map(l => col(s"c_$l")): _*)
   }
 
   /** Stopword list for the quality signal: the union of the language-ID
@@ -252,20 +307,31 @@ object TextOps {
     * table debris). All pure column aggregations — one shuffle on the
     * doc id, no UDFs. */
   def qualityScore(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = docs
+    // PER-ROW over the token array — map-only. The r5 shape exploded every
+    // token into a groupBy with a countDistinct, which Spark plans as TWO
+    // aggregation exchanges (distinct expansion + final); per-row
+    // array_distinct needs neither (guide §2.4). All counts are the same
+    // integers (a count over a group == the size of the array that made
+    // the group), divisions widen to double identically, and token-less
+    // docs vanish exactly as the explode dropped them.
+    val withT = docs
       .withColumn("_punct",
         (length(col(textCol)) -
           length(regexp_replace(col(textCol), "[^a-z0-9 ]", ""))).cast("double") /
         length(col(textCol)))
-      .select(col(idCol), col("_punct"), explode(tokens(col(textCol))).as("t"))
-    tok.groupBy(col(idCol)).agg(
-      count(lit(1)).as("n_tokens"),
-      countDistinct(col("t")).as("n_distinct"),
-      (count_distinct(col("t")).cast("double") / count(lit(1))).as("ttr"),
-      (sum(length(col("t"))).cast("double") / count(lit(1))).as("avg_token_len"),
-      (sum(when(col("t").isin(stopwords: _*), 1).otherwise(0)).cast("double") /
-        count(lit(1))).as("stopword_ratio"),
-      first(col("_punct")).as("punct_ratio"))
+      .select(col(idCol), col("_punct"), tokens(col(textCol)).as("_t"))
+      .where(size(col("_t")) >= 1)
+    val nTok = size(col("_t")).cast("bigint")
+    val nDis = size(array_distinct(col("_t"))).cast("bigint")
+    val sumLen = aggregate(col("_t"), lit(0L), (acc, t) => acc + length(t))
+    val nStop = size(filter(col("_t"), t => t.isin(stopwords: _*))).cast("bigint")
+    withT.select(col(idCol),
+      nTok.as("n_tokens"),
+      nDis.as("n_distinct"),
+      (nDis.cast("double") / nTok).as("ttr"),
+      (sumLen.cast("double") / nTok).as("avg_token_len"),
+      (nStop.cast("double") / nTok).as("stopword_ratio"),
+      col("_punct").as("punct_ratio"))
   }
 
   /** Document fingerprint: 60-bit hash of the canonical (sorted distinct)
@@ -279,7 +345,15 @@ object TextOps {
     * computation on LSH candidates). */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
                    pairs: DataFrame /* (doc_a, doc_b) */): DataFrame = {
-    val sh = shingleSet(docs, idCol, textCol)
+    // only docs that appear in `pairs` contribute to any output column:
+    // semi-join prefilter before shingling (guide §3.2) — with few pairs
+    // (e.g. q67's streamed candidates) the shingle explode drops from
+    // corpus scale to pair scale; with pair sets covering the corpus the
+    // prefilter is a broadcast semi-join the scan absorbs
+    val pairDocs = pairs.select(col("doc_a").as(idCol))
+      .unionAll(pairs.select(col("doc_b").as(idCol)))
+      .distinct()
+    val sh = shingleSet(docs.join(pairDocs, Seq(idCol), "left_semi"), idCol, textCol)
     val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.as("x"), col("doc_a") === col(s"x.$idCol"))

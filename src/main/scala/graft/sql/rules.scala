@@ -230,7 +230,7 @@ object DeriveCoveringPrune extends Rule[LogicalPlan] {
                              prefixAttr: AttributeReference): Expression = {
     def plainIn(cs: Array[Long]): Expression =
       In(prefixAttr, cs.toSeq.map(cellLiteral(_, prefixAttr)))
-    if (indexType != "h3u") plainIn(cells)
+    if (indexType != "h3u" || cells.isEmpty) plainIn(cells)
     else {
       val asLong: Expression = prefixAttr.dataType match {
         case LongType => prefixAttr
