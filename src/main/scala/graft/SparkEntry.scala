@@ -457,7 +457,10 @@ object SparkEntry {
       val docs = ld(s, dir, "documents")
       val pairs = graft.engine.StreamOps.streamedNearDupCandidates(
         s, s"$dir/documents.parquet", "doc_id", "text")
-      graft.engine.TextOps.ngramJaccard(docs, "doc_id", "text", pairs)
+      // prefilter: the streamed candidate pair set is tiny relative to the
+      // corpus, so the exact-jaccard stage shingles only candidate docs
+      graft.engine.TextOps.ngramJaccard(docs, "doc_id", "text", pairs,
+          prefilterDocs = true)
         .where(col("jaccard") >= graft.engine.TextOps.JaccardThreshold)
     },
     "q65_dedup_clusters" -> gq { (s, dir) =>

@@ -15,6 +15,28 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * Streaming makes.
   */
 object StreamOps {
+  /** Scale-adaptive stateful-shuffle sizing: a streaming query's state /
+    * aggregation partition count is pinned at query start from
+    * `spark.sql.shuffle.partitions` (AQE is disabled in streaming), so a
+    * constant tuned for either local mode or the cluster is wrong at the
+    * other scale. Derive it from the INPUT volume — ≈64 MB of source per
+    * partition, floored at 1, capped at the session's parallelism: a
+    * 100 TB stream saturates to cluster parallelism (production behavior
+    * unchanged), while a small micro-batch stops paying one state-store
+    * commit + task per configured partition per trigger (guide §2.2).
+    * These one-shot queries use fresh checkpoints, so the per-run choice
+    * never conflicts with a prior run's pinned partitioning. */
+  private def withInputSizedShuffle[T](spark: SparkSession, path: String)(body: => T): T = {
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(sizeOf).sum else f.length()
+    val bytes = sizeOf(new java.io.File(path))
+    val parts = math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+      bytes / (64L << 20) + 1))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Tumbling-window event aggregation, streaming end-to-end, returned as a
     * finished DataFrame. Decimal sums keep parity with the DuckDB oracle. */
   def streamedWindowAgg(spark: SparkSession, parquetPath: String): DataFrame = {
@@ -29,9 +51,11 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
            expr("CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("sum_val"))
-    val q = stream.writeStream
-      .format("memory").queryName(name).outputMode("complete").start()
-    try q.processAllAvailable() finally q.stop()
+    withInputSizedShuffle(spark, parquetPath) {
+      val q = stream.writeStream
+        .format("memory").queryName(name).outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     // materialize, then drop the memory-sink view: repeated invocations
     // (bench loops, verify reruns) must not accumulate result tables in
     // driver memory for the session's lifetime
@@ -63,9 +87,11 @@ object StreamOps {
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
            expr("CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("sum_val"))
-    val q = stream.writeStream
-      .format("memory").queryName(name).outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withInputSizedShuffle(spark, parquetPath) {
+      val q = stream.writeStream
+        .format("memory").queryName(name).outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val out = spark.table(name)
       .select(col("w.start").cast("timestamp_ntz").as("ws"),
         col("event_type"), col("n"), col("sum_val"))
@@ -173,8 +199,11 @@ object StreamOps {
         }
       }
       ()
-    }.outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    }
+    withInputSizedShuffle(spark, parquetPath) {
+      val query = q.outputMode("append").start()
+      try query.processAllAvailable() finally query.stop()
+    }
     IcebergLite.read(spark, table)
       .groupBy("tile").agg(count(lit(1)).as("n")).select("tile", "n")
   }
@@ -205,9 +234,11 @@ object StreamOps {
     val deduped = streamedDedupStream(spark, parquetPath, idCol, textCol,
       maxFilesPerTrigger, stateTtl)
     val name = s"q64_out_${System.nanoTime()}"
-    val q = deduped.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withInputSizedShuffle(spark, parquetPath) {
+      val q = deduped.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val out = spark.table(name).localCheckpoint(true) // see streamedWindowAgg
     spark.catalog.dropTempView(name)
     out
@@ -356,9 +387,11 @@ object StreamOps {
       .flatMapGroupsWithState(OutputMode.Append, timeout)(
         nearDupHandler(bucketCap, stateTtl))
     val name = s"q67_out_${System.nanoTime()}"
-    val q = cands.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withInputSizedShuffle(spark, parquetPath) {
+      val q = cands.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val out = spark.table(name).distinct() // a pair may surface from several bands
       .localCheckpoint(true) // see streamedWindowAgg: drop the sink view
     spark.catalog.dropTempView(name)
@@ -417,9 +450,11 @@ object StreamOps {
         })
 
     val name = s"q51_out_${System.nanoTime()}"
-    val q = sessions.writeStream.format("memory").queryName(name)
-      .outputMode("append").start()
-    try q.processAllAvailable() finally q.stop()
+    withInputSizedShuffle(spark, parquetPath) {
+      val q = sessions.writeStream.format("memory").queryName(name)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
     val out = spark.table(name).as[Session]
       .localCheckpoint(true) // see streamedWindowAgg: drop the sink view
     spark.catalog.dropTempView(name)

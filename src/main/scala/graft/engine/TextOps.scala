@@ -32,9 +32,13 @@ object TextOps {
     transform(sequence(lit(1), size(words) - 2), i =>
       concat_ws(" ", element_at(words, i), element_at(words, i + 1), element_at(words, i + 2)))
 
-  /** 60-bit md5 hash — identical to DuckDB `CAST('0x'||substring(md5(s),1,15) AS BIGINT)`. */
-  def hash60(s: Column): Column =
-    conv(substring(md5(s), 1, 15), 16, 10).cast("bigint")
+  /** 60-bit md5 hash — identical to DuckDB `CAST('0x'||substring(md5(s),1,15) AS BIGINT)`.
+    * Computed by the [[graft.sql.Md5Prefix60]] expression straight from the
+    * digest bytes: the md5→hex-string→substring→base-16-parse chain this
+    * replaces allocated three strings per shingle in the dedup family's
+    * innermost loop (same 60-bit value — the first 15 hex chars of the
+    * digest are its top 60 bits). */
+  def hash60(s: Column): Column = graft.sql.functions.md5_prefix60(s)
 
   /** (doc_id, sh) distinct 3-shingles per doc. */
   def shingleSet(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -343,17 +347,25 @@ object TextOps {
   /** Exact n-gram (3-shingle) jaccard for given candidate pairs — the
     * standalone n-gram-Jaccard dedup op (minhashLshPairs uses the same
     * computation on LSH candidates). */
+  /** `prefilterDocs`: semi-join `docs` to the pair set's doc ids BEFORE
+    * shingling (guide §3.2 — reduce the big side early). Only docs that
+    * appear in `pairs` contribute to any output column, so results are
+    * identical either way. Turn it on when the pair set is a small
+    * fraction of the corpus (e.g. q67's streamed candidates); leave it off
+    * when pairs span the corpus (e.g. q43's consecutive-id pairs), where
+    * the two extra evaluations of the `pairs` subtree cost more than the
+    * pruning saves. */
   def ngramJaccard(docs: DataFrame, idCol: String, textCol: String,
-                   pairs: DataFrame /* (doc_a, doc_b) */): DataFrame = {
-    // only docs that appear in `pairs` contribute to any output column:
-    // semi-join prefilter before shingling (guide §3.2) — with few pairs
-    // (e.g. q67's streamed candidates) the shingle explode drops from
-    // corpus scale to pair scale; with pair sets covering the corpus the
-    // prefilter is a broadcast semi-join the scan absorbs
-    val pairDocs = pairs.select(col("doc_a").as(idCol))
-      .unionAll(pairs.select(col("doc_b").as(idCol)))
-      .distinct()
-    val sh = shingleSet(docs.join(pairDocs, Seq(idCol), "left_semi"), idCol, textCol)
+                   pairs: DataFrame /* (doc_a, doc_b) */,
+                   prefilterDocs: Boolean = false): DataFrame = {
+    val pruned =
+      if (!prefilterDocs) docs
+      else docs.join(
+        pairs.select(col("doc_a").as(idCol))
+          .unionAll(pairs.select(col("doc_b").as(idCol)))
+          .distinct(),
+        Seq(idCol), "left_semi")
+    val sh = shingleSet(pruned, idCol, textCol)
     val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val inter = pairs
       .join(sh.as("x"), col("doc_a") === col(s"x.$idCol"))

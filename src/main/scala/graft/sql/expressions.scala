@@ -482,6 +482,21 @@ case class RollingHashAlt(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** md5_prefix60(text) → LONG — top 60 bits of the md5 digest, bit-identical
+  * to CAST(CONV(SUBSTRING(md5(s),1,15),16,10) AS BIGINT) (the oracle SQL
+  * form) but computed from the digest bytes with no hex-string round trip
+  * (graft.core.TextHash.md5Prefix60 — the dedup family's per-shingle hot
+  * loop). */
+case class Md5Prefix60(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix60"
+  override def nullSafeEval(s: Any): Any =
+    graft.core.TextHash.md5Prefix60(s.asInstanceOf[UTF8String].getBytes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.core.TextHash.md5Prefix60($s.getBytes())")
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** hex_cell(lon, lat, size) → LONG — packed axial hex id (planar pointy-top
   * lattice, graft.core.HexGrid; hexagonal capability per north_star,
   * honestly scoped — not H3-compatible). */

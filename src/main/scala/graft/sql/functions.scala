@@ -87,6 +87,8 @@ object GraftFunctions {
       (e: Seq[Expression]) => { require(e.length == 1, "rolling_hash(text)"); RollingHash(cS(e(0))) }),
     ("rolling_hash_alt", "rolling_hash_alt(text) - dual-path twin of rolling_hash",
       (e: Seq[Expression]) => { require(e.length == 1, "rolling_hash_alt(text)"); RollingHashAlt(cS(e(0))) }),
+    ("md5_prefix60", "md5_prefix60(text) - top 60 md5 digest bits as BIGINT (= conv(substring(md5(s),1,15),16,10))",
+      (e: Seq[Expression]) => { require(e.length == 1, "md5_prefix60(text)"); Md5Prefix60(cS(e(0))) }),
     ("hex_cell", "hex_cell(lon, lat, size) - packed axial hex id (planar lattice)",
       (e: Seq[Expression]) => { require(e.length == 3, "hex_cell(lon, lat, size)"); HexCell(cD(e(0)), cD(e(1)), cD(e(2))) }),
     ("hex_center", "hex_center(id, size) - hex center struct(lon, lat)",
@@ -234,6 +236,7 @@ object functions {
     call_function("gh_covering_polygon", wkt, lit(bits))
   def collect_capped(v: Column, cap: Int): Column =
     call_function("collect_capped", v, lit(cap))
+  def md5_prefix60(s: Column): Column = call_function("md5_prefix60", s)
   def h3u_cell(lon: Column, lat: Column, res: Int): Column =
     call_function("h3u_cell", lon, lat, lit(res))
   def h3u_polyfill_wkt(wkt: Column, res: Int): Column =
