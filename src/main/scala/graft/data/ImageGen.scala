@@ -163,15 +163,16 @@ object ImageGen {
 
   def toBufferedImage(rgb: Array[Byte], w: Int, h: Int): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    // fill the INT_RGB raster array directly: setRGB goes through the
+    // ColorModel conversion path per pixel and dominates encode time for
+    // these small images; the packed int written here is byte-identical
+    val data = img.getRaster.getDataBuffer.asInstanceOf[java.awt.image.DataBufferInt].getData
     var p = 0
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        img.setRGB(x, y, ((rgb(p) & 0xFF) << 16) | ((rgb(p + 1) & 0xFF) << 8) | (rgb(p + 2) & 0xFF))
-        p += 3; x += 1
-      }
-      y += 1
+    var i = 0
+    val n = w * h
+    while (i < n) {
+      data(i) = ((rgb(p) & 0xFF) << 16) | ((rgb(p + 1) & 0xFF) << 8) | (rgb(p + 2) & 0xFF)
+      p += 3; i += 1
     }
     img
   }
@@ -179,23 +180,37 @@ object ImageGen {
   /** Encode pixels per fmt; "raw" = the RGB bytes themselves (lossless).
     * JPEG uses explicit quality 0.95 so the PSNR ≥ 40 dB invariant is
     * satisfiable (default quality lands ≈38 dB on noisy pixels). */
+  // one writer per thread, reused across rows: the per-image
+  // getImageWritersByFormatName registry walk + writer construction is
+  // pure overhead in the generator's per-partition loop. Output bytes are
+  // those of the same plugin writer, unchanged.
+  private val jpgWriterLocal = ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+    ImageIO.getImageWritersByFormatName("jpg").next())
+  private val pngWriterLocal = ThreadLocal.withInitial[javax.imageio.ImageWriter](() =>
+    ImageIO.getImageWritersByFormatName("png").next())
+
+  private def encodeWith(writer: javax.imageio.ImageWriter,
+                         params: javax.imageio.ImageWriteParam,
+                         img: BufferedImage): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+    writer.setOutput(null)
+    ios.close()
+    bos.toByteArray
+  }
+
   def encodeBytes(rgb: Array[Byte], w: Int, h: Int, fmt: String): Array[Byte] = fmt match {
     case "raw" => rgb
     case "jpg" =>
-      val writer = ImageIO.getImageWritersByFormatName("jpg").next()
+      val writer = jpgWriterLocal.get()
       val params = writer.getDefaultWriteParam
       params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
       params.setCompressionQuality(0.95f)
-      val bos = new ByteArrayOutputStream()
-      val ios = ImageIO.createImageOutputStream(bos)
-      writer.setOutput(ios)
-      writer.write(null, new javax.imageio.IIOImage(toBufferedImage(rgb, w, h), null, null), params)
-      writer.dispose(); ios.close()
-      bos.toByteArray
+      encodeWith(writer, params, toBufferedImage(rgb, w, h))
     case _ =>
-      val bos = new ByteArrayOutputStream()
-      require(ImageIO.write(toBufferedImage(rgb, w, h), "png", bos), "no imageio png writer")
-      bos.toByteArray
+      encodeWith(pngWriterLocal.get(), null, toBufferedImage(rgb, w, h))
   }
 
   /** Decode stored bytes back to row-major RGB (inverse of [[encodeBytes]]). */

@@ -281,6 +281,21 @@ object SpatialOps {
     // most one doubling — extra cells only widen the exact final scan)
     var step = 1L
     var exhausted = false
+    val dist = (col(lonCol) - qLon) * (col(lonCol) - qLon) +
+               (col(latCol) - qLat) * (col(latCol) - qLat)
+    // FUSED probe for the in-plan variants: candidate count (capped at k —
+    // all the loop compares against) AND the running k-th distance from ONE
+    // TakeOrdered job per expansion batch, so the loop's exit knowledge
+    // already contains the disc radius and the old standalone k-th-distance
+    // job disappears (guide §1.2: fewer passes). The indexed variants keep
+    // their zero-job manifest counts and pay the one k-th job at the end.
+    var kthD: Option[Double] = None
+    def fusedProbe(cells: Seq[Long]): Long = {
+      val row = scanCells(cells).select(dist.as("d")).orderBy($"d".asc).limit(k)
+        .agg(count(lit(1)), max($"d")).head()
+      kthD = if (row.isNullAt(1)) None else Some(row.getDouble(1))
+      row.getLong(0)
+    }
     while (found < target && r < maxRings && !exhausted) {
       val rEnd = math.min(r + step, maxRings)
       val sizeBefore = acc.size
@@ -291,7 +306,7 @@ object SpatialOps {
       if (acc.size == sizeBefore) exhausted = true // grid closed over itself
       else {
         val prevFound = found
-        found = countCells(acc.toSeq)
+        found = if (knownRows.isDefined) countCells(acc.toSeq) else fusedProbe(acc.toSeq)
         if (!probed && found == prevFound && found < target) {
           // expansion stalled below k: re-bound the target with ONE capped
           // existence probe (LocalLimit reads at most k rows per partition
@@ -305,15 +320,17 @@ object SpatialOps {
       }
       step *= 2
     }
-    val dist = (col(lonCol) - qLon) * (col(lonCol) - qLon) +
-               (col(latCol) - qLat) * (col(latCol) - qLat)
-    val kthRow = scanCells(acc.toSeq).select(dist.as("d")).orderBy($"d".asc).limit(k)
-      .agg(max($"d")).collect()(0)
-    // null k-th distance = no candidate rows at all (empty table / k > rows):
+    if (knownRows.isDefined) {
+      val kthRow = scanCells(acc.toSeq).select(dist.as("d")).orderBy($"d".asc).limit(k)
+        .agg(max($"d")).head()
+      kthD = if (kthRow.isNullAt(0)) None else Some(kthRow.getDouble(0))
+    }
+    // no k-th distance = no candidate rows at all (empty table / k > rows):
     // nothing more to find, skip the disc-coverage extension
-    val needRings =
-      if (kthRow.isNullAt(0)) r - 1
-      else math.ceil(math.sqrt(kthRow.getDouble(0)) / cellMin).toLong + 1
+    val needRings = kthD match {
+      case None => r - 1
+      case Some(d) => math.ceil(math.sqrt(d) / cellMin).toLong + 1
+    }
     while (r <= needRings && r < maxRings) {
       acc ++= ringCells(r); r += 1
     }

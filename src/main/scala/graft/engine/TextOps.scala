@@ -203,9 +203,25 @@ object TextOps {
       .distinct()
       .localCheckpoint(true)
     var prevSig = (-1L, -1L)
-    var converged = e.isEmpty
+    var edgeCount = e.count()
+    var converged = edgeCount == 0L
     var rounds = 0
+    // Scale-adaptive round sizing: each round is 2 joins + 2 distincts over
+    // the CURRENT edge set, whose count we get for free from the
+    // convergence signature. Size the round's shuffle partitions from it
+    // (~4M 16-byte edges ≈ 64 MB per partition, capped at the session's
+    // parallelism) instead of inheriting a constant: at 100 TB the edge set
+    // saturates the cap, while the converged tail of a small graph stops
+    // paying a full task wave per stage (guide §2.2). Restored after the
+    // loop — the star-forest projection below plans under the caller's
+    // configuration.
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    def roundParts(n: Long): String =
+      math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
+        n / 4000000L + 1)).toString
+    try {
     while (!converged && rounds < 64) {
+      spark.conf.set("spark.sql.shuffle.partitions", roundParts(edgeCount))
       // LARGE-STAR: for every node u (adjacency in BOTH directions),
       // m = min(N(u) ∪ {u}); link every LARGER neighbor to m.
       val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
@@ -230,9 +246,11 @@ object TextOps {
       val sig = (sigRow.getLong(0), sigRow.getLong(1))
       converged = sig == prevSig
       prevSig = sig
+      edgeCount = sig._1
       e = next
       rounds += 1
     }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     // converged edge set is a star forest: (member, component-min)
     val members = e.select(col("u").as("doc_id"), col("v").as("cluster_rep"))
     val roots = e.select(col("v").as("doc_id")).distinct()
