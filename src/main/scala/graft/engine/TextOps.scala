@@ -108,27 +108,6 @@ object TextOps {
       .distinct()
   }
 
-  /** [[lshCandidates]] computed from the documents directly, with PER-ROW
-    * minhash signatures: each doc's signature is array_min over the affine
-    * hash family of its distinct-shingle hash ARRAY — a map-only stage, no
-    * shingle explode and no groupBy-min shuffle (the exploded form shuffles
-    * ~n_shingles rows per doc into the signature aggregation; this shape
-    * shuffles exactly [[Bands]] small rows per doc, the band bucketing's
-    * own shuffle, which is the only fundamentally required one — guide
-    * §2.3/§2.4). Values are identical: min over a set is min over the
-    * array of the same set (the streaming op q67 uses the same identity,
-    * asserted == lshCandidates in EngineOpsSpec). */
-  def lshCandidatesPerRow(docs: DataFrame, idCol: String, textCol: String,
-                          bucketCap: Int = BandBucketCap): DataFrame = {
-    val withH = docs
-      .withColumn("_w", tokens(col(textCol)))
-      .where(size(col("_w")) >= 3)
-      .withColumn("_h", transform(array_distinct(shingles3(col("_w"))), sh => hash60(sh)))
-    val sigs = (0 until MinhashK).map(i =>
-      array_min(transform(col("_h"), h => affineHash(h, i))).as(s"s$i"))
-    bucketsToPairs(bandRowsOfSignatures(
-      withH.select(col(idCol) +: sigs: _*), idCol), idCol, bucketCap)
-  }
 
   /** MinHash + LSH near-duplicate pairs with exact-jaccard verification.
     * Scale path: signatures explode into (band_idx, band_key) rows and
@@ -139,25 +118,16 @@ object TextOps {
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       threshold: Double = JaccardThreshold,
                       bucketCap: Int = BandBucketCap): DataFrame = {
-    // Candidates from PER-ROW signatures: map-only up to the band-bucket
-    // shuffle (Bands rows per doc) — the r5 shape exploded the shingle set
-    // (~n_tokens rows per doc) into a DISK_ONLY persist plus a groupBy-min
-    // signature shuffle over it. Persisted because it feeds both the doc
-    // prefilter and the intersection join; it is the op's OUTPUT scale
-    // (bounded per bucket by cap(cap-1)/2), far below corpus scale.
-    val cand = lshCandidatesPerRow(docs, idCol, textCol, bucketCap)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Exact-jaccard verification only ever reads CANDIDATE docs' shingles:
-    // semi-join prefilter BEFORE shingling (guide §3.2 — reduce the big
-    // side before the shuffle). At 100 TB the candidate fraction is small,
-    // so the exploded shingle set shrinks from corpus scale to candidate
-    // scale; DISK_ONLY because it is consumed 3× (counts + both
-    // intersection sides) and must not pressure executor memory.
-    val candDocs = cand.select(col("doc_a").as(idCol))
-      .unionAll(cand.select(col("doc_b").as(idCol)))
-      .distinct()
-    val sh = shingleSet(docs.join(candDocs, Seq(idCol), "left_semi"), idCol, textCol)
+    // DISK_ONLY, not MEMORY_AND_DISK: the exploded (doc, shingle) set is
+    // ~n_tokens rows per doc (≈10× the corpus in row count, comparable in
+    // bytes) and is consumed 3× (signatures, counts, intersection). At
+    // 100 TB of documents the shingle set is another ~100 TB — memory
+    // caching would evict/thrash every executor; serialized disk blocks
+    // cost one local write + three sequential local reads, no recompute
+    // of the explode, and zero executor-memory pressure.
+    val sh = shingleSet(docs, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val cand = lshCandidates(sh, idCol, bucketCap)
     val cnt = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
     val inter = cand
       .join(sh.as("x"), col("doc_a") === col(s"x.$idCol"))
