@@ -26,6 +26,19 @@ object StreamOps {
     * commit + task per configured partition per trigger (guide §2.2).
     * These one-shot queries use fresh checkpoints, so the per-run choice
     * never conflicts with a prior run's pinned partitioning. */
+  /** Source schema with a per-JVM (path, mtime) cache: six streaming
+    * operators each re-read the same static source's parquet footers just
+    * to declare the stream schema — metadata only, invalidated on file
+    * change, never persisted across processes. */
+  private val schemaCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long), org.apache.spark.sql.types.StructType]()
+
+  private def sourceSchema(spark: SparkSession, path: String): org.apache.spark.sql.types.StructType = {
+    val mtime = try java.nio.file.Files.getLastModifiedTime(
+      java.nio.file.Paths.get(path)).toMillis catch { case _: java.io.IOException => -1L }
+    schemaCache.computeIfAbsent((path, mtime), _ => spark.read.parquet(path).schema)
+  }
+
   private def withInputSizedShuffle[T](spark: SparkSession, path: String)(body: => T): T = {
     def sizeOf(f: java.io.File): Long =
       if (f.isDirectory) f.listFiles().map(sizeOf).sum else f.length()
@@ -40,7 +53,7 @@ object StreamOps {
   /** Tumbling-window event aggregation, streaming end-to-end, returned as a
     * finished DataFrame. Decimal sums keep parity with the DuckDB oracle. */
   def streamedWindowAgg(spark: SparkSession, parquetPath: String): DataFrame = {
-    val schema = spark.read.parquet(parquetPath).schema
+    val schema = sourceSchema(spark, parquetPath)
     val name = s"q50_out_${System.nanoTime()}"
     // the file source needs a directory: stream the parent dir, filtered to
     // this one file (works for both a file and a directory input)
@@ -74,7 +87,7 @@ object StreamOps {
     * oracle reproduces with a HAVING clause. */
   def streamedWatermarkAgg(spark: SparkSession, parquetPath: String,
                            delay: String = "2 hours"): DataFrame = {
-    val schema = spark.read.parquet(parquetPath).schema
+    val schema = sourceSchema(spark, parquetPath)
     val name = s"q53_out_${System.nanoTime()}"
     val f = new java.io.File(parquetPath)
     val (dir, glob) = if (f.isDirectory) (parquetPath, "*") else (f.getParent, f.getName)
@@ -170,7 +183,7 @@ object StreamOps {
                              properties: Map[String, String],
                              autoCompactEvery: Int = 0): DataFrame = {
     import graft.data.IcebergLite
-    val schema = spark.read.parquet(parquetPath).schema
+    val schema = sourceSchema(spark, parquetPath)
     val f = new java.io.File(parquetPath)
     val (dir, glob) = if (f.isDirectory) (parquetPath, "*") else (f.getParent, f.getName)
     var reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
@@ -253,7 +266,7 @@ object StreamOps {
                           maxFilesPerTrigger: Int = 0,
                           stateTtl: String = ""): Dataset[DedupRow] = {
     import spark.implicits._
-    val schema = spark.read.parquet(parquetPath).schema
+    val schema = sourceSchema(spark, parquetPath)
     val f = new java.io.File(parquetPath)
     val (dir, glob) = if (f.isDirectory) (parquetPath, "*") else (f.getParent, f.getName)
     var reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
@@ -355,7 +368,7 @@ object StreamOps {
                                 stateTtl: String = ""): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.Column
-    val schema = spark.read.parquet(parquetPath).schema
+    val schema = sourceSchema(spark, parquetPath)
     val f = new java.io.File(parquetPath)
     val (dir, glob) = if (f.isDirectory) (parquetPath, "*") else (f.getParent, f.getName)
     var reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
@@ -421,7 +434,7 @@ object StreamOps {
   def sessionize(spark: SparkSession, parquetPath: String,
                  gapUs: Long, maxFilesPerTrigger: Int = 0): Dataset[Session] = {
     import spark.implicits._
-    val schema = spark.read.parquet(parquetPath).schema
+    val schema = sourceSchema(spark, parquetPath)
     val f = new java.io.File(parquetPath)
     val (dir, glob) = if (f.isDirectory) (parquetPath, "*") else (f.getParent, f.getName)
     var reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)

@@ -334,6 +334,17 @@ class EngineOpsSpec extends AnyFunSuite {
       GroupStateTimeout.NoTimeout, 1000L, Optional.absent[Long](), false)
     assert(StreamOps.dedupHandler("")(7L, Iterator((3L, 7L)), s5).nonEmpty)
     assert(!s5.getTimeoutTimestampMs.isPresent)
+
+    // a doc id RE-ARRIVING in a later micro-batch is not a new member
+    // (ADVICE r5): no self-pair, no duplicate member, no cap inflation —
+    // only the genuinely new id pairs against the stored members
+    val b4 = state[StreamOps.BucketState](
+      Some(StreamOps.BucketState(alive = true, List(2L, 5L))))
+    val rePairs = StreamOps.nearDupHandler(50, ttl)((0, "k"),
+      Iterator((0, "k", 2L), (0, "k", 7L)), b4).toSeq
+    assert(rePairs.toSet == Set(StreamOps.NearDupCand(2L, 7L), StreamOps.NearDupCand(5L, 7L)),
+      s"re-arrival must not self-pair or re-pair: $rePairs")
+    assert(b4.get.members == List(2L, 5L, 7L), b4.get.members.toString)
   }
 
   test("streamedDedup: first batch wins per fingerprint, later duplicates swallowed") {

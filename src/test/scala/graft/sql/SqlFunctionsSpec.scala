@@ -227,4 +227,20 @@ class SqlFunctionsSpec extends AnyFunSuite {
     // "*(n)" prefixes mark operators fused into WholeStageCodegen stage n
     assert(plan.contains("*(1) Project") && plan.contains("gh_encode"), plan)
   }
+
+  test("md5_prefix60 == conv(substring(md5(s),1,15),16,10) bit-for-bit") {
+    import org.apache.spark.sql.functions.{conv, md5, substring, col, expr}
+    // ASCII, unicode (multi-byte UTF-8), empty, whitespace, long strings
+    val samples = Seq("", " ", "a", "the quick brown fox", "météo 观测 ätna",
+      "a b c d e f g h i j", "x" * 10000, "caption of img000000000042: eddy sst 7")
+    val df = spark.createDataFrame(samples.map(Tuple1(_))).toDF("s")
+    val rows = df.select(
+      gf.md5_prefix60(col("s")).as("fast"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("bigint").as("ref")).collect()
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+    // and in interpreted (higher-order-function lambda) evaluation too
+    val hof = df.select(expr("transform(array(s), x -> md5_prefix60(x))[0]").as("fast"),
+      conv(substring(md5(col("s")), 1, 15), 16, 10).cast("bigint").as("ref")).collect()
+    hof.foreach(r => assert(r.getLong(0) == r.getLong(1), r.toString))
+  }
 }
