@@ -548,7 +548,10 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_images"),
              min("lat").as("min_lat"), max("lat").as("max_lat"),
              min("lon").as("min_lon"), max("lon").as("max_lon"),
-             countDistinct("fmt").as("n_fmts"),
+             // same value as countDistinct(fmt), ONE aggregation pass: the
+             // distinct-agg form plans an Expand + second exchange; fmt has
+             // 3 values, so the per-group set is bounded (guide §2.4)
+             size(collect_set("fmt")).cast("bigint").as("n_fmts"),
              sum(length(col("caption"))).as("caption_bytes"))
         .withColumn("cell_area_m2", gf.gh_area(col("tile"), 20))
         // dual path: per-tile extent must sit inside the tile's decoded bbox

@@ -173,25 +173,26 @@ object TextOps {
       .distinct()
       .localCheckpoint(true)
     var prevSig = (-1L, -1L)
-    var edgeCount = e.count()
-    var converged = edgeCount == 0L
+    var converged = e.isEmpty
+    var edgeCount = -1L // unknown until the first convergence signature
     var rounds = 0
     // Scale-adaptive round sizing: each round is 2 joins + 2 distincts over
-    // the CURRENT edge set, whose count we get for free from the
-    // convergence signature. Size the round's shuffle partitions from it
-    // (~4M 16-byte edges ≈ 64 MB per partition, capped at the session's
-    // parallelism) instead of inheriting a constant: at 100 TB the edge set
-    // saturates the cap, while the converged tail of a small graph stops
-    // paying a full task wave per stage (guide §2.2). Restored after the
-    // loop — the star-forest projection below plans under the caller's
-    // configuration.
+    // the CURRENT edge set, whose count comes FREE from the previous
+    // round's convergence signature (no extra job). Size the round's
+    // shuffle partitions from it (~4M 16-byte edges ≈ 64 MB per partition,
+    // capped at the session's parallelism) instead of inheriting a
+    // constant: at 100 TB the edge set saturates the cap, while the
+    // converged tail of a small graph stops paying a full task wave per
+    // stage (guide §2.2). The FIRST round, whose size is unknown, runs
+    // under the caller's configuration. Restored after the loop.
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
     def roundParts(n: Long): String =
       math.max(1L, math.min(spark.sparkContext.defaultParallelism.toLong,
         n / 4000000L + 1)).toString
     try {
     while (!converged && rounds < 64) {
-      spark.conf.set("spark.sql.shuffle.partitions", roundParts(edgeCount))
+      if (edgeCount >= 0)
+        spark.conf.set("spark.sql.shuffle.partitions", roundParts(edgeCount))
       // LARGE-STAR: for every node u (adjacency in BOTH directions),
       // m = min(N(u) ∪ {u}); link every LARGER neighbor to m.
       val adj = e.union(e.select(col("v").as("u"), col("u").as("v")))
