@@ -195,7 +195,14 @@ object StreamOps {
     val stream = reader.parquet(dir).select(col("event_id"), col(keyCol))
     val q = stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       if (!batch.isEmpty) {
+        // materialize the tiled INCREMENT once: IcebergLite.write evaluates
+        // its input twice (manifest stats pass + file write pass), which
+        // re-scanned the batch and re-derived position+tile per pass. The
+        // checkpoint is bounded by micro-batch size — the increment, never
+        // the table — so this is safe at any corpus scale (guide §5:
+        // localCheckpoint as the cheap lineage/materialization cut).
         val tiled = tile(SpatialOps.withDerivedPosition(batch, keyCol))
+          .localCheckpoint(true)
         val m =
           if (IcebergLite.readManifest(table).isEmpty)
             IcebergLite.write(tiled, table, "tile_p", properties = props)
