@@ -113,7 +113,7 @@ object AnnOps {
     cents
   }
 
-  /** Nearest-centroid id as ONE codegen'd expression: per centroid the
+  /** Nearest-centroid id as ONE project-stage expression: per centroid the
     * squared-L2 fold (same element order as the oracle), argmin via
     * array_min over (d2, cent_id) structs — struct ordering IS the
     * (d2 asc, cent_id asc) tie-break. Replaces the previous
