@@ -382,15 +382,17 @@ object StreamOps {
     if (maxFilesPerTrigger > 0) reader = reader.option("maxFilesPerTrigger", maxFilesPerTrigger)
     val docs = reader.parquet(dir).select(col(idCol).as("doc_id"), col(textCol).as("text"))
     // per-row signature: the same affine family as minhashSignatures, but
-    // array_min over the shingle-hash array instead of a groupBy — the
-    // signature needs no shuffle, only the band buckets do
+    // computed per row instead of via a groupBy — the signature needs no
+    // shuffle, only the band buckets do. Every s_i derives from the SINGLE
+    // masked minimum (affineHash is strictly monotone in h & mask, see
+    // TextOps.sigFromMaskedMin): one array pass per doc, not MinhashK.
     val withShingles = docs
       .withColumn("_w", TextOps.tokens(col("text")))
       .where(size(col("_w")) >= 3)
-      .withColumn("_h", transform(array_distinct(TextOps.shingles3(col("_w"))),
-        sh => TextOps.hash60(sh)))
+      .withColumn("_m", array_min(transform(array_distinct(TextOps.shingles3(col("_w"))),
+        sh => TextOps.hash60(sh).bitwiseAND(lit(TextOps.AffineMask)))))
     val sigs: Seq[Column] = (0 until TextOps.MinhashK).map(i =>
-      array_min(transform(col("_h"), h => TextOps.affineHash(h, i))).as(s"s$i"))
+      TextOps.sigFromMaskedMin(col("_m"), i).as(s"s$i"))
     val rowsPerBand = TextOps.MinhashK / TextOps.Bands
     val signed = withShingles.select(col("doc_id") +: sigs: _*)
     val bandKey = (b: Int) => concat_ws("_",

@@ -51,17 +51,30 @@ object TextOps {
   /** Affine hash family over ONE base md5 hash: h_i = (h & 2^45-1) * a_i + i
     * (odd multipliers; stays < 2^62 so no BIGINT overflow in either engine).
     * One md5 per shingle instead of k — md5 dominates signature cost. */
+  val AffineMask = 0x1FFFFFFFFFFFL
   def affineHash(h: Column, i: Int): Column =
-    (h.bitwiseAND(lit(0x1FFFFFFFFFFFL)) * lit(2L * i + 1)) + lit(i.toLong)
+    (h.bitwiseAND(lit(AffineMask)) * lit(2L * i + 1)) + lit(i.toLong)
   def affineHashSql(h: String, i: Int): String =
-    s"(($h & ${0x1FFFFFFFFFFFL}) * ${2L * i + 1} + $i)"
+    s"(($h & $AffineMask) * ${2L * i + 1} + $i)"
+
+  /** s_i from the single masked minimum: affineHash is STRICTLY MONOTONE in
+    * (h & mask) for every i (positive multiplier, added constant), so
+    * min over shingles of affine(h, i) == affine(min over shingles of
+    * (h & mask), i) — one min instead of [[MinhashK]] of them, bit-identical
+    * signature values (the oracle keeps the explicit per-i min SQL). */
+  private[engine] def sigFromMaskedMin(m: Column, i: Int): Column =
+    m * lit(2L * i + 1) + lit(i.toLong)
 
   /** MinHash signature columns s0..s{k-1}: per member i of the affine hash
-    * family, min over the doc's shingles. */
+    * family, min over the doc's shingles — computed via ONE `min(h & mask)`
+    * aggregate (see [[sigFromMaskedMin]]): the aggregation buffer and the
+    * shuffle carry one long per doc instead of MinhashK. */
   def minhashSignatures(shingleDf: DataFrame, idCol: String): DataFrame = {
     val base = shingleDf.withColumn("_h", hash60(col("sh")))
-    val aggs = (0 until MinhashK).map(i => min(affineHash(col("_h"), i)).as(s"s$i"))
-    base.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    val m = base.groupBy(col(idCol))
+      .agg(min(col("_h").bitwiseAND(lit(AffineMask))).as("_m"))
+    val sigs = (0 until MinhashK).map(i => sigFromMaskedMin(col("_m"), i).as(s"s$i"))
+    m.select(col(idCol) +: sigs: _*)
   }
 
   /** LSH candidate pairs (doc_a, doc_b) from banded minhash signatures of a
